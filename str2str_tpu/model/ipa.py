@@ -1,0 +1,223 @@
+"""Invariant Point Attention and the frame-update trunk, TPU-first.
+
+Functional parity with the reference IPA (AF2 Algorithm 22;
+`/root/reference/src/models/net/ipa.py:31-268`) with a different compute
+layout designed for the MXU:
+
+  * The squared point-distance attention never materializes the
+    [B, L, L, H, P, 3] displacement tensor. Using
+    sum_p |q_ip - k_jp|^2 = |q_i|^2 + |k_j|^2 - 2 <q_i, k_j>,
+    the cross term is one [B, H, L, 3P] x [B, H, 3P, L] matmul — the whole
+    point attention becomes MXU work plus rank-1 row/column corrections.
+  * Point aggregation (o_pt) is a [B, H, L, L] x [B, H, L, 3P] matmul.
+  * Frames are carried as (quat, trans); points are rotated with the
+    quaternion form (18 FLOPs/point, fused by XLA) instead of materializing
+    per-residue rotation matrices for every q/k/v point set.
+
+The attention weights/softmax run in fp32; inputs may be bf16.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+from ..geometry import rotations as rot
+from ..geometry.rigid import quat_compose_update
+from .layers import (BackboneUpdate, EdgeTransition, NodeTransition,
+                     TorsionAngleHead, TransformerEncoder, linear)
+
+_HP = lax.Precision.HIGHEST
+
+
+class Frames(NamedTuple):
+    """Per-residue rigid frames carried through the trunk."""
+    quat: jnp.ndarray   # (B, L, 4)
+    trans: jnp.ndarray  # (B, L, 3)
+
+
+def _apply_frames(frames: Frames, pts: jnp.ndarray) -> jnp.ndarray:
+    """Rotate+translate local points (B, L, n, 3) by per-residue frames."""
+    return rot.quat_rotate(frames.quat[..., None, :], pts) + frames.trans[..., None, :]
+
+
+def _invert_apply_frames(frames: Frames, pts: jnp.ndarray) -> jnp.ndarray:
+    q_inv = rot.quat_conjugate(frames.quat)
+    return rot.quat_rotate(q_inv[..., None, :], pts - frames.trans[..., None, :])
+
+
+class InvariantPointAttention(nn.Module):
+    c_hidden: int = 256
+    no_heads: int = 8
+    no_qk_points: int = 8
+    no_v_points: int = 12
+    inf: float = 1e5
+    eps: float = 1e-8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, s: jnp.ndarray, z: jnp.ndarray, frames: Frames,
+                 mask: jnp.ndarray) -> jnp.ndarray:
+        """
+        s: (B, L, c_s) node embedding; z: (B, L, L, c_z) edge embedding;
+        frames: per-residue rigid frames; mask: (B, L).
+        Returns the (B, L, c_s) node update.
+        """
+        B, L, _ = s.shape
+        H, C = self.no_heads, self.c_hidden
+        Pq, Pv = self.no_qk_points, self.no_v_points
+        c_z = z.shape[-1]
+
+        # --- scalar q/k/v --------------------------------------------------
+        q = linear(H * C, dtype=self.dtype, name="linear_q")(s)
+        kv = linear(2 * H * C, dtype=self.dtype, name="linear_kv")(s)
+        q = q.reshape(B, L, H, C)
+        k, v = jnp.split(kv.reshape(B, L, H, 2 * C), 2, axis=-1)
+
+        # --- point q/k/v in global coordinates ------------------------------
+        # The torch layout packs points as (x..x y..y z..z); keep that exact
+        # layout so checkpoints convert without permutation.
+        q_pts = linear(H * Pq * 3, dtype=self.dtype, name="linear_q_points")(s)
+        q_pts = jnp.stack(jnp.split(q_pts, 3, axis=-1), axis=-1)  # (B,L,H*Pq,3)
+        q_pts = _apply_frames(frames, q_pts).reshape(B, L, H, Pq, 3)
+
+        kv_pts = linear(H * (Pq + Pv) * 3, dtype=self.dtype, name="linear_kv_points")(s)
+        kv_pts = jnp.stack(jnp.split(kv_pts, 3, axis=-1), axis=-1)
+        kv_pts = _apply_frames(frames, kv_pts).reshape(B, L, H, Pq + Pv, 3)
+        k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
+
+        # --- attention logits -------------------------------------------------
+        b = linear(H, dtype=self.dtype, name="linear_b")(z)  # (B, L, L, H)
+
+        a = jnp.einsum("blhc,bmhc->bhlm", q, k, precision=_HP)
+        a = a * math.sqrt(1.0 / (3 * C))
+        a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2))
+
+        # Point attention via the distance expansion (MXU form).
+        head_weights = nn.softplus(self.param(
+            "head_weights", nn.initializers.constant(0.541324854612918), (H,)))
+        pt_scale = head_weights * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
+
+        qf = q_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
+        kf = k_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
+        cross = jnp.einsum("bhlp,bhmp->bhlm", qf, kf, precision=_HP)
+        q_sq = jnp.sum(qf * qf, axis=-1)  # (B, H, L)
+        k_sq = jnp.sum(kf * kf, axis=-1)
+        dist2 = q_sq[..., :, None] + k_sq[..., None, :] - 2.0 * cross
+        a = a - 0.5 * pt_scale[None, :, None, None] * dist2
+
+        square_mask = self.inf * (mask[:, None, :, None] * mask[:, None, None, :] - 1.0)
+        a = a + square_mask
+        a = nn.softmax(a.astype(jnp.float32), axis=-1)
+
+        # --- outputs -----------------------------------------------------------
+        # scalar values
+        o = jnp.einsum("bhlm,bmhc->blhc", a.astype(v.dtype), v, precision=_HP)
+        o = o.reshape(B, L, H * C)
+
+        # point values: aggregate in global coords, then back to local frames
+        vf = v_pts.transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pv * 3)
+        o_pt = jnp.einsum("bhlm,bhmp->bhlp", a.astype(vf.dtype), vf, precision=_HP)
+        o_pt = o_pt.reshape(B, H, L, Pv, 3).transpose(0, 2, 1, 3, 4)  # (B,L,H,Pv,3)
+        o_pt = _invert_apply_frames(frames, o_pt.reshape(B, L, H * Pv, 3))
+        o_pt_norm = jnp.sqrt(jnp.sum(o_pt.astype(jnp.float32) ** 2, axis=-1)
+                             + self.eps).astype(o.dtype)  # (B, L, H*Pv)
+
+        # pair values
+        pair_z = linear(c_z // 4, dtype=self.dtype, name="down_z")(z)
+        o_pair = jnp.einsum("bhlm,blmc->blhc", a.astype(pair_z.dtype), pair_z,
+                            precision=_HP).reshape(B, L, H * (c_z // 4))
+
+        # Concat order matches the reference: [o, o_pt x/y/z, norms, pair].
+        o_feats = jnp.concatenate(
+            [o, o_pt[..., 0], o_pt[..., 1], o_pt[..., 2], o_pt_norm, o_pair],
+            axis=-1)
+        return linear(s.shape[-1], init="final", dtype=self.dtype,
+                      name="linear_out")(o_feats)
+
+
+class TranslationIPA(nn.Module):
+    """IPA trunk: per block IPA -> LN residual -> skip-concat transformer ->
+    node transition -> rigid update; edge transition between blocks
+    (reference ipa.py:271-387)."""
+    c_s: int = 256
+    c_z: int = 128
+    coordinate_scaling: float = 0.1
+    no_ipa_blocks: int = 4
+    skip_embed_size: int = 64
+    transformer_num_heads: int = 4
+    transformer_num_layers: int = 2
+    c_hidden: int = 256
+    no_heads: int = 8
+    no_qk_points: int = 8
+    no_v_points: int = 12
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_embed, edge_embed, rigids_t7, residue_mask,
+                 fixed_mask, deterministic: bool = True):
+        node_mask = residue_mask.astype(node_embed.dtype)
+        diffuse_mask = (1.0 - fixed_mask.astype(node_embed.dtype)) * node_mask
+        edge_mask = node_mask[..., None] * node_mask[..., None, :]
+
+        quat = rigids_t7[..., :4]
+        quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+        trans = rigids_t7[..., 4:] * self.coordinate_scaling
+        frames = Frames(quat, trans)
+
+        init_node_embed = node_embed
+        for b in range(self.no_ipa_blocks):
+            ipa_out = InvariantPointAttention(
+                c_hidden=self.c_hidden, no_heads=self.no_heads,
+                no_qk_points=self.no_qk_points, no_v_points=self.no_v_points,
+                dtype=self.dtype, name=f"ipa_{b}")(
+                node_embed, edge_embed, frames, node_mask)
+            ipa_out = ipa_out * node_mask[..., None]
+            node_embed = nn.LayerNorm(dtype=jnp.float32, name=f"ipa_ln_{b}")(
+                node_embed + ipa_out)
+
+            skip = linear(self.skip_embed_size, init="final", dtype=self.dtype,
+                          name=f"skip_embed_{b}")(init_node_embed)
+            concat = jnp.concatenate([node_embed, skip], axis=-1)
+            transformed = TransformerEncoder(
+                num_layers=self.transformer_num_layers,
+                num_heads=self.transformer_num_heads,
+                dim_feedforward=concat.shape[-1],
+                dropout=self.dropout, dtype=self.dtype,
+                name=f"transformer_{b}")(
+                concat, padding_mask=1.0 - node_mask,
+                deterministic=deterministic)
+            node_embed = node_embed + linear(
+                self.c_s, init="final", dtype=self.dtype,
+                name=f"linear_{b}")(transformed)
+
+            node_embed = NodeTransition(
+                dtype=self.dtype, name=f"node_transition_{b}")(node_embed)
+            node_embed = node_embed * node_mask[..., None]
+
+            update = BackboneUpdate(dtype=self.dtype, name=f"bb_update_{b}")(
+                node_embed * diffuse_mask[..., None])
+            quat, trans = quat_compose_update(
+                frames.quat, frames.trans, update.astype(jnp.float32),
+                update_mask=diffuse_mask[..., None])
+            frames = Frames(quat, trans)
+
+            if b < self.no_ipa_blocks - 1:
+                edge_embed = EdgeTransition(
+                    edge_embed_out=self.c_z, dtype=self.dtype,
+                    name=f"edge_transition_{b}")(node_embed, edge_embed)
+                edge_embed = edge_embed * edge_mask[..., None]
+
+        psi = TorsionAngleHead(n_torsion_angles=1, dtype=self.dtype,
+                               name="torsion_pred")(node_embed)  # (B, L, 2)
+
+        out_trans = frames.trans / self.coordinate_scaling
+        return {
+            "quat": frames.quat,
+            "trans": out_trans,
+            "psi": psi,
+        }

@@ -1,0 +1,200 @@
+"""Network building blocks (flax.linen) with the AF2 initializer zoo.
+
+Capability parity with the reference layer library
+(`/root/reference/src/models/net/layers.py`): Linear init variants
+(lecun/he/glorot/gating/normal/final-zero), NodeTransition, EdgeTransition,
+TorsionAngleHead, BackboneUpdate, plus a post-LN transformer encoder matching
+torch `nn.TransformerEncoder` semantics (packed-QKV attention, ReLU FF) so
+that torch checkpoints convert 1:1.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+# jax's truncated-normal variance scaling already includes the truncation
+# stddev correction, matching the scipy-based init in the reference.
+INITS = {
+    "default": nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+    "relu": nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
+    "glorot": nn.initializers.xavier_uniform(),
+    "gating": nn.initializers.zeros,
+    "normal": nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+    "final": nn.initializers.zeros,
+}
+
+
+def linear(features: int, init: str = "default", use_bias: bool = True,
+           dtype=jnp.float32, name: Optional[str] = None) -> nn.Dense:
+    """nn.Dense with an AF2-style `init` string; bias starts at zero
+    (or one for "gating")."""
+    bias_init = (nn.initializers.ones if init == "gating"
+                 else nn.initializers.zeros)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    kernel_init=INITS[init], bias_init=bias_init, name=name)
+
+
+class MLP(nn.Module):
+    """Stack of Linear+activation used by the embedders."""
+    features: tuple
+    init_last: str = "default"
+    final_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            last = i == len(self.features) - 1
+            x = linear(f, init=self.init_last if last else "relu",
+                       dtype=self.dtype, name=f"linear_{i}")(x)
+            if not last:
+                x = nn.relu(x)
+        if self.final_norm:
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        return x
+
+
+class NodeTransition(nn.Module):
+    """3-layer residual MLP + LayerNorm (reference layers.py:128)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, s):
+        dim = s.shape[-1]
+        h = nn.relu(linear(dim, init="relu", dtype=self.dtype, name="linear_1")(s))
+        h = nn.relu(linear(dim, init="relu", dtype=self.dtype, name="linear_2")(h))
+        h = linear(dim, init="final", dtype=self.dtype, name="linear_3")(h)
+        return nn.LayerNorm(dtype=jnp.float32, name="ln")(s + h)
+
+
+class EdgeTransition(nn.Module):
+    """Concat tiled node embeddings onto edges, 2-layer residual MLP, LN
+    (reference layers.py:148). Works on the full [B, L, L, C] tensor — XLA
+    fuses the pointwise trunk; no host-visible B*L^2 reshape needed."""
+    edge_embed_out: int
+    num_layers: int = 2
+    node_dilation: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_embed, edge_embed):
+        bias_dim = node_embed.shape[-1] // self.node_dilation
+        node_small = linear(bias_dim, init="relu", dtype=self.dtype, name="initial_embed")(node_embed)
+        L = node_small.shape[-2]
+        row = jnp.broadcast_to(node_small[..., :, None, :],
+                               node_small.shape[:-2] + (L, L, bias_dim))
+        col = jnp.broadcast_to(node_small[..., None, :, :],
+                               node_small.shape[:-2] + (L, L, bias_dim))
+        x = jnp.concatenate([edge_embed, row, col], axis=-1)
+        h = x
+        for i in range(self.num_layers):
+            h = nn.relu(linear(x.shape[-1], init="relu", dtype=self.dtype,
+                               name=f"trunk_{i}")(h))
+        x = linear(self.edge_embed_out, init="final", dtype=self.dtype, name="final_layer")(h + x)
+        return nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(x)
+
+
+class TorsionAngleHead(nn.Module):
+    """Residual MLP -> unit-circle sin/cos per torsion (reference layers.py:188)."""
+    n_torsion_angles: int = 1
+    eps: float = 1e-8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, s):
+        dim = s.shape[-1]
+        h = nn.relu(linear(dim, init="relu", dtype=self.dtype, name="linear_1")(s))
+        h = linear(dim, init="final", dtype=self.dtype, name="linear_2")(h)
+        h = h + s
+        raw = linear(self.n_torsion_angles * 2, init="final", dtype=self.dtype, name="linear_final")(h)
+        norm = jnp.sqrt(jnp.clip(
+            jnp.sum(raw.astype(jnp.float32) ** 2, axis=-1, keepdims=True),
+            min=self.eps))
+        return raw / norm
+
+
+class BackboneUpdate(nn.Module):
+    """Linear head producing the 6-vector rigid update (AF2 Alg. 23;
+    reference layers.py:216). Zero-initialized: identity update at init."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, s):
+        return linear(6, init="final", dtype=self.dtype, name="linear")(s)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with a packed QKV projection, matching torch
+    `nn.MultiheadAttention` parameter layout (in_proj + out_proj)."""
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None):
+        d = x.shape[-1]
+        h = self.num_heads
+        dh = d // h
+        qkv = linear(3 * d, init="glorot", dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (h, dh))
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                            precision=lax.Precision.HIGHEST) / jnp.sqrt(
+            jnp.asarray(dh, jnp.float32))
+        if padding_mask is not None:
+            # padding_mask: 1.0 = masked (torch key_padding_mask convention).
+            # Large-finite instead of -inf so fully-padded query rows produce
+            # a uniform distribution rather than NaNs.
+            bias = jnp.where(padding_mask[..., None, None, :] > 0.5, -1e9, 0.0)
+            logits = logits + bias
+        a = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        o = jnp.einsum("...hqk,...khd->...qhd", a, v,
+                       precision=lax.Precision.HIGHEST)
+        o = o.reshape(o.shape[:-2] + (d,))
+        return linear(d, init="glorot", dtype=self.dtype, name="out_proj")(o)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN transformer layer: x = LN(x + MHA(x)); x = LN(x + FF(x)).
+
+    Matches torch `nn.TransformerEncoderLayer` defaults (ReLU, post-norm,
+    dropout applied to attention output and FF hidden/output)."""
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None, deterministic: bool = True):
+        a = SelfAttention(self.num_heads, dtype=self.dtype, name="self_attn")(
+            x, padding_mask)
+        a = nn.Dropout(self.dropout, deterministic=deterministic)(a)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + a)
+        f = linear(self.dim_feedforward, init="glorot", dtype=self.dtype, name="linear1")(x)
+        f = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(f))
+        f = linear(x.shape[-1], init="glorot", dtype=self.dtype, name="linear2")(f)
+        f = nn.Dropout(self.dropout, deterministic=deterministic)(f)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + f)
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.num_heads, self.dim_feedforward, self.dropout,
+                dtype=self.dtype, name=f"layers_{i}")(
+                x, padding_mask, deterministic)
+        return x

@@ -1,0 +1,111 @@
+"""The denoising score network: embedder + IPA trunk + backbone rebuild.
+
+Capability parity with the reference DenoisingNet
+(`/root/reference/src/models/net/denoising_ipa.py:162-211`): takes the
+featurized batch at diffusion time t, returns predicted clean frames, the psi
+torsion, and the rebuilt backbone atom positions. All geometry stays on
+device (`compute_backbone` is pure jnp).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..geometry.frames import compute_backbone
+from ..geometry.rigid import Rigid
+from .embedding import EmbeddingModule
+from .ipa import TranslationIPA
+
+
+@dataclass(frozen=True)
+class NetworkConfig:
+    # embedder
+    init_embed_size: int = 32
+    node_embed_size: int = 256
+    edge_embed_size: int = 128
+    num_bins: int = 22
+    min_bin: float = 1e-5
+    max_bin: float = 20.0
+    self_conditioning: bool = True
+    # trunk
+    coordinate_scaling: float = 0.1
+    no_ipa_blocks: int = 4
+    skip_embed_size: int = 64
+    transformer_num_heads: int = 4
+    transformer_num_layers: int = 2
+    c_hidden: int = 256
+    no_heads: int = 8
+    no_qk_points: int = 8
+    no_v_points: int = 12
+    dropout: float = 0.1
+    # compute dtype for the big matmuls ("float32" or "bfloat16")
+    dtype: str = "float32"
+
+
+class ScoreNetwork(nn.Module):
+    cfg: NetworkConfig = NetworkConfig()
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray],
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """
+        batch keys (all padded to a static length L):
+          rigids_t (B, L, 7), t (B,), residue_idx (B, L) int,
+          residue_mask (B, L), fixed_mask (B, L), sc_ca_t (B, L, 3),
+          torsion_angles_sin_cos (B, L, 7, 2) [psi GT for fixed residues],
+          aatype (B, L) int.
+        Returns: quat (B,L,4), trans (B,L,3), rigids tensor_7, psi (B,L,2),
+          atom37 (B,L,37,3), atom14 (B,L,14,3).
+        """
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+        node_mask = batch["residue_mask"].astype(jnp.float32)
+        fixed_mask = batch["fixed_mask"].astype(jnp.float32)
+        edge_mask = node_mask[..., None] * node_mask[..., None, :]
+
+        node_embed, edge_embed = EmbeddingModule(
+            init_embed_size=cfg.init_embed_size,
+            node_embed_size=cfg.node_embed_size,
+            edge_embed_size=cfg.edge_embed_size,
+            num_bins=cfg.num_bins, min_bin=cfg.min_bin, max_bin=cfg.max_bin,
+            self_conditioning=cfg.self_conditioning, dtype=dtype,
+            name="embedder")(
+            batch["residue_idx"], batch["t"], fixed_mask, batch["sc_ca_t"])
+        node_embed = node_embed * node_mask[..., None]
+        edge_embed = edge_embed * edge_mask[..., None]
+
+        trunk_out = TranslationIPA(
+            c_s=cfg.node_embed_size, c_z=cfg.edge_embed_size,
+            coordinate_scaling=cfg.coordinate_scaling,
+            no_ipa_blocks=cfg.no_ipa_blocks,
+            skip_embed_size=cfg.skip_embed_size,
+            transformer_num_heads=cfg.transformer_num_heads,
+            transformer_num_layers=cfg.transformer_num_layers,
+            c_hidden=cfg.c_hidden, no_heads=cfg.no_heads,
+            no_qk_points=cfg.no_qk_points, no_v_points=cfg.no_v_points,
+            dropout=cfg.dropout, dtype=dtype, name="translator")(
+            node_embed, edge_embed, batch["rigids_t"].astype(jnp.float32),
+            node_mask, fixed_mask, deterministic=deterministic)
+
+        # psi: ground truth for fixed residues, prediction elsewhere.
+        gt_psi = batch["torsion_angles_sin_cos"][..., 2, :].astype(jnp.float32)
+        psi = (gt_psi * fixed_mask[..., None]
+               + trunk_out["psi"].astype(jnp.float32) * (1.0 - fixed_mask[..., None]))
+
+        quat, trans = trunk_out["quat"], trunk_out["trans"]
+        rigids = Rigid.from_quat_trans(quat, trans)
+        atom37, atom37_mask, atom14 = compute_backbone(
+            rigids, psi, batch.get("aatype"))
+
+        return {
+            "quat": quat,
+            "trans": trans,
+            "rigids": jnp.concatenate([quat, trans], axis=-1),
+            "psi": psi,
+            "atom37": atom37,
+            "atom14": atom14,
+        }

@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from str2str_tpu.model.network import NetworkConfig, ScoreNetwork
+
+
+def make_batch(rng, B=2, L=16, with_padding=False):
+    q = rng.randn(B, L, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q[..., 0] = np.abs(q[..., 0])
+    trans = rng.randn(B, L, 3).astype(np.float32) * 5
+    mask = np.ones((B, L), np.float32)
+    if with_padding:
+        mask[:, -4:] = 0.0
+    batch = {
+        "rigids_t": np.concatenate([q, trans], axis=-1),
+        "t": np.linspace(0.2, 0.8, B).astype(np.float32),
+        "residue_idx": np.tile(np.arange(L, dtype=np.int32), (B, 1)),
+        "residue_mask": mask,
+        "fixed_mask": np.zeros((B, L), np.float32),
+        "sc_ca_t": rng.randn(B, L, 3).astype(np.float32),
+        "torsion_angles_sin_cos": rng.randn(B, L, 7, 2).astype(np.float32),
+        "aatype": rng.randint(0, 20, (B, L)).astype(np.int32),
+    }
+    return batch
+
+
+def test_network_smoke_and_shapes(rng):
+    net = ScoreNetwork(NetworkConfig())
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng).items()}
+    params = net.init(jax.random.PRNGKey(0), batch)
+    out = jax.jit(lambda p, b: net.apply(p, b))(params, batch)
+    assert out["rigids"].shape == (2, 16, 7)
+    assert out["atom37"].shape == (2, 16, 37, 3)
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+    # Unit quaternion output.
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["quat"]), axis=-1), 1.0, atol=1e-5)
+
+
+def test_network_padding_invariance(rng):
+    """Padded positions must not influence real residues' outputs."""
+    net = ScoreNetwork(NetworkConfig())
+    batch = make_batch(rng, B=1, L=16, with_padding=True)
+    params = net.init(jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()})
+
+    out1 = net.apply(params, {k: jnp.asarray(v) for k, v in batch.items()})
+    # Scramble the padded region's inputs.
+    batch2 = {k: v.copy() for k, v in batch.items()}
+    batch2["rigids_t"][:, -4:, 4:] += 100.0
+    batch2["sc_ca_t"][:, -4:] += 50.0
+    out2 = net.apply(params, {k: jnp.asarray(v) for k, v in batch2.items()})
+    np.testing.assert_allclose(np.asarray(out1["trans"][:, :-4]),
+                               np.asarray(out2["trans"][:, :-4]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out1["psi"][:, :-4]),
+                               np.asarray(out2["psi"][:, :-4]), atol=2e-4)
+
+
+@pytest.mark.parity
+def test_network_parity_with_reference(rng, reference_available):
+    """Golden test: random-initialized reference torch net, weights converted
+    to flax, outputs must match on the same input."""
+    if not reference_available:
+        pytest.skip("no reference checkout")
+    import torch
+    from tests.conftest import load_reference_module
+
+    ipa_mod = load_reference_module("src/models/net/ipa.py", "ref_ipa")
+    den_mod = load_reference_module("src/models/net/denoising_ipa.py", "ref_den")
+
+    torch.manual_seed(0)
+    ref_embedder = den_mod.EmbeddingModule(
+        init_embed_size=32, node_embed_size=256, edge_embed_size=128,
+        num_bins=22, min_bin=1e-5, max_bin=20.0, self_conditioning=True)
+    ref_translator = ipa_mod.TranslationIPA(
+        c_s=256, c_z=128, coordinate_scaling=0.1, no_ipa_blocks=4,
+        skip_embed_size=64, transformer_num_heads=4, transformer_num_layers=2,
+        c_hidden=256, no_heads=8, no_qk_points=8, no_v_points=12)
+    ref_net = den_mod.DenoisingNet(ref_embedder, ref_translator).eval()
+
+    from str2str_tpu.utils.torch_convert import torch_state_dict_to_flax
+    state_dict = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+    params = torch_state_dict_to_flax(state_dict)
+
+    batch_np = make_batch(rng, B=2, L=16)
+    tbatch = {k: torch.tensor(v) for k, v in batch_np.items()}
+    tbatch["aatype"] = tbatch["aatype"].long()
+    with torch.no_grad():
+        ref_out = ref_net(tbatch, as_tensor_7=True)
+
+    net = ScoreNetwork(NetworkConfig(dropout=0.1))
+    out = net.apply(params, {k: jnp.asarray(v) for k, v in batch_np.items()},
+                    deterministic=True)
+
+    ref_r7 = ref_out["rigids"].numpy()
+    my_r7 = np.asarray(out["rigids"])
+    # Quaternion sign is a convention; compare q and trans up to sign.
+    dot = np.abs(np.sum(ref_r7[..., :4] * my_r7[..., :4], axis=-1)
+                 / (np.linalg.norm(ref_r7[..., :4], axis=-1)
+                    * np.linalg.norm(my_r7[..., :4], axis=-1)))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-4)
+    np.testing.assert_allclose(my_r7[..., 4:], ref_r7[..., 4:], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["psi"]), ref_out["psi"].numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["atom37"]), ref_out["atom37"].numpy(),
+                               atol=5e-3)
