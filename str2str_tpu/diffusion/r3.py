@@ -87,7 +87,9 @@ class R3Diffusion:
         positions are padded). dt may be scalar or per-sample broadcastable.
         """
         tb = _bcast_t(t, x_t)
-        dt = jnp.broadcast_to(jnp.asarray(dt, x_t.dtype), tb.shape)
+        dt = jnp.asarray(dt, x_t.dtype)
+        if dt.ndim:
+            dt = _bcast_t(dt, x_t)
         x_t = self.scale(x_t)
         f_t = self.drift_coef(x_t, tb)
         g_t = self.diffusion_coef(tb)

@@ -138,9 +138,10 @@ class SO3Diffusion:
         t broadcasts to rot_t[..., 0]; dt may be a scalar or per-sample array
         broadcastable the same way (per-sample dt powers the batched delta-grid
         sampler)."""
-        tb = jnp.broadcast_to(t.reshape(t.shape + (1,) * (rot_t.ndim - 1 - t.ndim)),
-                              rot_t.shape[:-1])[..., None]
-        dt = jnp.broadcast_to(jnp.asarray(dt, rot_t.dtype), tb.shape)
+        tb = t.reshape(t.shape + (1,) * (rot_t.ndim - t.ndim))
+        dt = jnp.asarray(dt, rot_t.dtype)
+        if dt.ndim:
+            dt = dt.reshape(dt.shape + (1,) * (rot_t.ndim - dt.ndim))
         g_t = self.diffusion_coef(tb)
         rev_drift = -(g_t**2) * score_t * dt * (0.5 if probability_flow else 1.0)
         if probability_flow:
@@ -165,9 +166,10 @@ class SO3Diffusion:
                      noise_scale: float = 1.0, probability_flow: bool = True) -> jnp.ndarray:
         """Reverse step acting on unit quaternions directly (no matrix
         round-trip; equivalent to `reverse` through axis-angle)."""
-        tb = jnp.broadcast_to(t.reshape(t.shape + (1,) * (quat_t.ndim - 1 - t.ndim)),
-                              quat_t.shape[:-1])[..., None]
-        dt = jnp.broadcast_to(jnp.asarray(dt, quat_t.dtype), tb.shape)
+        tb = t.reshape(t.shape + (1,) * (quat_t.ndim - t.ndim))
+        dt = jnp.asarray(dt, quat_t.dtype)
+        if dt.ndim:
+            dt = dt.reshape(dt.shape + (1,) * (quat_t.ndim - dt.ndim))
         g_t = self.diffusion_coef(tb)
         rev_drift = -(g_t**2) * score_t * dt * (0.5 if probability_flow else 1.0)
         if probability_flow:

@@ -1,0 +1,104 @@
+import numpy as np
+import pytest
+
+from str2str_tpu.evaluation import metrics as M
+from str2str_tpu.evaluation.tica import fit_tica
+from str2str_tpu.io import pdb as pdb_io
+from str2str_tpu.io import protein as prot_io
+
+
+def test_pdb_parse_fixture(fixture_pdb):
+    prot = prot_io.from_pdb_string(fixture_pdb.read_text())
+    assert prot.num_residues == 10  # chignolin
+    assert prot.sequence() == "YYDPETGTWY"
+    # CA atoms present everywhere
+    assert np.all(prot.atom_mask[:, 1] == 1.0)
+
+
+def test_pdb_roundtrip(fixture_pdb):
+    prot = prot_io.from_pdb_string(fixture_pdb.read_text())
+    text = prot_io.to_pdb(prot)
+    prot2 = prot_io.from_pdb_string(text)
+    np.testing.assert_array_equal(prot.aatype, prot2.aatype)
+    np.testing.assert_allclose(prot.atom_positions, prot2.atom_positions, atol=1e-3)
+    np.testing.assert_array_equal(prot.atom_mask, prot2.atom_mask)
+    np.testing.assert_array_equal(prot.residue_index, prot2.residue_index)
+
+
+def test_multimodel_roundtrip(tmp_path, fixture_pdb, rng):
+    prot = prot_io.from_pdb_string(fixture_pdb.read_text())
+    ens = np.stack([prot.atom_positions + rng.randn(1, 1, 3).astype(np.float32)
+                    for _ in range(5)])
+    path = tmp_path / "ens.pdb"
+    pdb_io.atom37_to_pdb(ens, str(path), aatype=prot.aatype,
+                         residue_index=prot.residue_index,
+                         chain_index=prot.chain_index,
+                         atom_mask=prot.atom_mask)
+    models = prot_io.parse_pdb_models(path.read_text())
+    assert len(models) == 5
+    np.testing.assert_allclose(models[2].atom_positions[models[2].atom_mask > 0.5],
+                               ens[2][prot.atom_mask > 0.5], atol=1e-3)
+    # merge
+    merged = tmp_path / "merged.pdb"
+    pdb_io.merge_pdbfiles([str(path), str(path)], str(merged))
+    assert len(prot_io.parse_pdb_models(merged.read_text())) == 10
+    # CA extraction
+    ca = pdb_io.extract_backbone_coords(str(path))
+    assert ca.shape == (5, 10, 3)
+
+
+def _fake_ensembles(rng, B=100, L=20):
+    base = rng.randn(L, 3).astype(np.float64) * 3
+    target = base[None] + 0.5 * rng.randn(B, L, 3)
+    sample = base[None] + 0.6 * rng.randn(B, L, 3)
+    return {"target": target, "sample": sample}
+
+
+def test_metrics_self_consistency(rng):
+    ens = _fake_ensembles(rng)
+    out = M.evaluate_ensembles(ens)
+    assert out["js_pwd"]["target"] == 0.0
+    assert 0.0 <= out["js_pwd"]["sample"] <= 1.0
+    assert 0.0 <= out["js_tica"]["sample"] <= 1.0
+    assert 0.0 <= out["val_clash"]["sample"] <= 1.0
+    # identical ensembles -> tiny JS
+    same = {"target": ens["target"], "sample": ens["target"].copy()}
+    out2 = M.js_pwd(same)
+    assert out2["sample"] < 1e-6
+
+
+def test_tica_decorrelates(rng):
+    # A linear Markov chain with known slow direction.
+    T, D = 2000, 6
+    slow = np.zeros(T)
+    for t in range(1, T):
+        slow[t] = 0.99 * slow[t - 1] + 0.1 * rng.randn()
+    fast = rng.randn(T, D - 1)
+    mix = rng.randn(D, D)
+    data = np.concatenate([slow[:, None], fast], axis=1) @ mix
+    model = fit_tica(data, lagtime=20, dim=2)
+    y = model.transform(data)
+    # First TIC should recover the slow coordinate (up to sign/scale).
+    corr = np.corrcoef(y[:, 0], slow)[0, 1]
+    assert abs(corr) > 0.95
+    assert model.eigenvalues[0] > model.eigenvalues[1]
+
+
+@pytest.mark.parity
+def test_metrics_parity_with_reference(rng, reference_available):
+    if not reference_available:
+        pytest.skip("no reference checkout")
+    from tests.conftest import load_reference_module
+    ref_m = load_reference_module("src/metrics/metrics.py", "ref_metrics")
+
+    ens = _fake_ensembles(rng)
+    assert M.validity(ens) == ref_m.validity(ens)
+    assert M.bonding_validity(ens) == ref_m.bonding_validity(ens)
+    mine = M.js_pwd(ens)
+    theirs = ref_m.js_pwd(ens)
+    for k in mine:
+        assert abs(mine[k] - theirs[k]) < 2e-4, (k, mine[k], theirs[k])
+    mine_rg = M.js_rg(ens)
+    theirs_rg = ref_m.js_rg(ens)
+    for k in mine_rg:
+        assert abs(mine_rg[k] - theirs_rg[k]) < 2e-4

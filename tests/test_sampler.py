@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from str2str_tpu.data.featurize import FeaturizeConfig, featurize_padded
+from str2str_tpu.diffusion.r3 import R3Config, R3Diffusion
+from str2str_tpu.diffusion.se3 import SE3Diffusion
+from str2str_tpu.diffusion.so3 import SO3Config, SO3Diffusion
+from str2str_tpu.io import protein as prot_io
+from str2str_tpu.model.network import NetworkConfig, ScoreNetwork
+from str2str_tpu.sampling.sampler import Sampler, SamplerConfig, build_schedule
+
+
+@pytest.fixture(scope="module")
+def setup(fixture_pdb):
+    import tempfile
+    prot = prot_io.from_pdb_string(fixture_pdb.read_text())
+    feats = featurize_padded(
+        prot, FeaturizeConfig(strip_missing_residues=False,
+                              recenter_and_scale=False), bucket=16)
+    net = ScoreNetwork(NetworkConfig())
+    diffuser = SE3Diffusion(
+        trans=R3Diffusion(R3Config(coordinate_scaling=0.1)),
+        rotation=SO3Diffusion(SO3Config(
+            num_sigma=50, num_omega=100, n_terms=300,
+            cache_dir=tempfile.mkdtemp())),
+        min_t=1e-2)
+    batch = {k: jnp.asarray(np.broadcast_to(v, (2,) + v.shape))
+             for k, v in feats.items()}
+    params = net.init(jax.random.PRNGKey(0), {
+        "rigids_t": jnp.tile(jnp.asarray([1., 0, 0, 0, 0, 0, 0]), (2, 16, 1)),
+        "t": jnp.ones((2,)) * 0.5,
+        "residue_idx": batch["residue_idx"],
+        "residue_mask": batch["residue_mask"],
+        "fixed_mask": batch["fixed_mask"],
+        "sc_ca_t": batch["sc_ca_t"],
+        "torsion_angles_sin_cos": batch["torsion_angles_sin_cos"],
+        "aatype": batch["aatype"],
+    })
+    return prot, feats, net, diffuser, params
+
+
+def test_build_schedule():
+    ts, dt, active = build_schedule(np.asarray([0.3, 0.5]), 100, 0.01)
+    assert ts.shape == (50, 2)
+    # Right-aligned: sample 0 active in the last 30 steps.
+    assert float(active[:20, 0].sum()) == 0.0
+    assert float(active[20:, 0].sum()) == 30.0
+    assert float(active[:, 1].sum()) == 50.0
+    # Schedules end at min_t and start at delta.
+    np.testing.assert_allclose(np.asarray(ts[-1]), [0.01, 0.01], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ts[0]), [0.3, 0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dt), [1 / 30, 1 / 50], atol=1e-6)
+
+
+def test_sampler_runs_and_is_finite(setup):
+    prot, feats, net, diffuser, params = setup
+    sampler = Sampler(net, diffuser, SamplerConfig(num_timesteps=20,
+                                                   replica_per_batch=2,
+                                                   self_conditioning=True))
+    batch = {k: jnp.asarray(np.broadcast_to(v, (2,) + v.shape))
+             for k, v in feats.items() if isinstance(v, np.ndarray)}
+    ts, dt, active = build_schedule(np.asarray([0.3, 0.5], np.float32), 20, 0.01)
+    out = sampler.run(params, jax.random.PRNGKey(1), batch, ts, dt, active)
+    atom37 = np.asarray(out["atom37"])
+    assert atom37.shape == (2, 16, 37, 3)
+    assert np.isfinite(atom37).all()
+    # Backbone atoms of real residues are placed.
+    mask = np.asarray(out["atom37_mask"])
+    assert mask[:, :10, :3].all()
+
+
+def test_sample_ensemble_groups_deltas(setup):
+    prot, feats, net, diffuser, params = setup
+    sampler = Sampler(net, diffuser, SamplerConfig(
+        num_timesteps=20, replica_per_batch=4, n_replica=4,
+        delta_min=0.3, delta_max=0.4, delta_step=0.1))
+    out = sampler.sample_ensemble(params, jax.random.PRNGKey(2), feats)
+    assert set(out.keys()) == {0.3, 0.4}
+    for v in out.values():
+        assert v.shape == (4, 16, 37, 3)
+        assert np.isfinite(v).all()
+
+
+def test_sampler_determinism(setup):
+    """Same key -> identical samples; different key -> different."""
+    prot, feats, net, diffuser, params = setup
+    sampler = Sampler(net, diffuser, SamplerConfig(num_timesteps=10,
+                                                   replica_per_batch=2))
+    batch = {k: jnp.asarray(np.broadcast_to(v, (2,) + v.shape))
+             for k, v in feats.items() if isinstance(v, np.ndarray)}
+    ts, dt, active = build_schedule(np.asarray([0.3, 0.3], np.float32), 10, 0.01)
+    o1 = sampler.run(params, jax.random.PRNGKey(7), batch, ts, dt, active)
+    o2 = sampler.run(params, jax.random.PRNGKey(7), batch, ts, dt, active)
+    o3 = sampler.run(params, jax.random.PRNGKey(8), batch, ts, dt, active)
+    np.testing.assert_array_equal(np.asarray(o1["atom37"]), np.asarray(o2["atom37"]))
+    assert not np.allclose(np.asarray(o1["atom37"]), np.asarray(o3["atom37"]))
