@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Headline benchmark: conformations/sec/chip at L=256, reference protocol.
+
+Measures the jitted reverse-anneal scan's score-network throughput on the
+default accelerator (TPU) for a synthetic 256-residue protein, then converts
+to conformations/sec under the reference sampling protocol (delta grid
+0.25..0.70 step 0.05, T = int(1000*delta) Euler steps + self-conditioning
+init + final prediction pass per replica — ~477 NFEs per conformation;
+reference diffusion_module.py:229-351).
+
+vs_baseline: ratio against the reference PyTorch implementation's measured
+NFE rate on this host (cached in BASELINE_MEASURED.json; measured once on
+CPU with the same network config and batched extrapolation).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+L = 256                  # benchmark sequence length
+B = int(os.environ.get("BENCH_BATCH", "8"))   # replicas per device batch
+T_BENCH = int(os.environ.get("BENCH_STEPS", "200"))  # timed anneal steps
+DELTA = 0.5
+# Reference protocol NFEs per conformation: per delta, T+2 net calls for a
+# replica (init self-cond + T-1 reverse + final prediction), 10 deltas,
+# 10 conformations (one per delta) -> (sum_d int(1000 d) + 2*10) / 10.
+DELTAS = np.around(np.arange(0.25, 0.70 + 1e-5, 0.05), 2)
+NFE_PER_CONF = (sum(int(1000 * d) for d in DELTAS) + 2 * len(DELTAS)) / len(DELTAS)
+
+BASELINE_FILE = REPO / "BASELINE_MEASURED.json"
+
+
+def synthetic_protein(n: int, seed: int = 0):
+    """Random-walk backbone with idealized geometry, featurized + padded."""
+    import jax.numpy as jnp
+    from str2str_tpu.geometry import rotations as R
+    from str2str_tpu.geometry.frames import compute_backbone
+    from str2str_tpu.geometry.rigid import Rigid
+    from str2str_tpu.io.protein import Protein
+    from str2str_tpu.data.featurize import FeaturizeConfig, featurize_padded
+
+    rng = np.random.RandomState(seed)
+    # Smooth random-walk frames (~3.8 A CA steps).
+    steps = rng.randn(n, 3) * 0.6 + np.asarray([3.6, 0.6, 0.2])
+    trans = np.cumsum(steps, axis=0).astype(np.float32)
+    trans -= trans.mean(0)
+    rotvec = np.cumsum(rng.randn(n, 3) * 0.25, axis=0).astype(np.float32)
+    rot = np.asarray(R.axis_angle_to_matrix(jnp.asarray(rotvec)))
+    aatype = rng.randint(0, 20, n).astype(np.int32)
+    psi = rng.randn(n, 2).astype(np.float32)
+    psi /= np.linalg.norm(psi, axis=-1, keepdims=True)
+    atom37, mask37, _ = compute_backbone(
+        Rigid(jnp.asarray(rot), jnp.asarray(trans)), jnp.asarray(psi),
+        jnp.asarray(aatype))
+    prot = Protein(
+        atom_positions=np.asarray(atom37, np.float32),
+        atom_mask=np.asarray(mask37, np.float32),
+        aatype=aatype,
+        residue_index=np.arange(1, n + 1, dtype=np.int32),
+        chain_index=np.zeros(n, np.int32),
+        b_factors=np.zeros((n, 37), np.float32))
+    return featurize_padded(prot, FeaturizeConfig(
+        strip_missing_residues=False, recenter_and_scale=False), bucket=n)
+
+
+def measure_tpu_nfe_rate() -> float:
+    import jax
+    import jax.numpy as jnp
+    from str2str_tpu.config.core import load_config
+    from str2str_tpu.factory import build_diffuser, build_network, build_sampler
+    from str2str_tpu.sampling.sampler import build_schedule
+
+    cfg = load_config("eval", [])
+    net = build_network(cfg)
+    diffuser = build_diffuser(cfg)
+    sampler = build_sampler(cfg, net, diffuser)
+
+    feats = synthetic_protein(L)
+    batch = {k: jnp.asarray(np.broadcast_to(v, (B,) + v.shape))
+             for k, v in feats.items() if isinstance(v, np.ndarray)}
+
+    from str2str_tpu.cli.sample import example_net_batch
+    params = net.init(jax.random.PRNGKey(0), example_net_batch(feats))
+
+    def timed_run(t_steps: int) -> float:
+        num_timesteps = int(t_steps / DELTA)
+        ts, dt, active = build_schedule(
+            np.full((B,), DELTA, np.float32), num_timesteps, 0.01)
+        out = sampler.run(params, jax.random.PRNGKey(1), batch, ts, dt, active)
+        jax.block_until_ready(out["atom37"])  # includes compile on first call
+        t0 = time.perf_counter()
+        out = sampler.run(params, jax.random.PRNGKey(2), batch, ts, dt, active)
+        jax.block_until_ready(out["atom37"])
+        elapsed = time.perf_counter() - t0
+        nfes = (ts.shape[0] + 2) * B
+        return nfes / elapsed
+
+    return timed_run(T_BENCH)
+
+
+def measure_torch_baseline_nfe_rate() -> float | None:
+    """Reference torch net forward rate at L=256 on this host (cached)."""
+    if BASELINE_FILE.exists():
+        return json.loads(BASELINE_FILE.read_text()).get("torch_nfe_per_sec")
+    ref = Path("/root/reference")
+    if not ref.exists():
+        return None
+    try:
+        import importlib
+        import importlib.util
+        from unittest.mock import MagicMock
+        import torch
+
+        sys.path.insert(0, str(ref))
+        # Stub heavy deps the reference import chain pulls but never uses on
+        # this path (same trick as tests/conftest.py).
+        for stub in ("hydra", "hydra.utils", "hydra.core", "hydra.core.hydra_config",
+                     "omegaconf", "lightning", "lightning.pytorch",
+                     "lightning.pytorch.loggers", "lightning_utilities",
+                     "lightning_utilities.core",
+                     "lightning_utilities.core.rank_zero",
+                     "rootutils", "deeptime", "deeptime.decomposition",
+                     "torchmetrics"):
+            if stub not in sys.modules:
+                try:
+                    importlib.import_module(stub)
+                except ImportError:
+                    sys.modules[stub] = MagicMock(name=stub)
+
+        def load(rel, name):
+            spec = importlib.util.spec_from_file_location(name, ref / rel)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return mod
+
+        ipa_mod = load("src/models/net/ipa.py", "bench_ref_ipa")
+        den_mod = load("src/models/net/denoising_ipa.py", "bench_ref_den")
+        torch.manual_seed(0)
+        net = den_mod.DenoisingNet(
+            den_mod.EmbeddingModule(32, 256, 128),
+            ipa_mod.TranslationIPA(256, 128, 0.1, 4, 64)).eval()
+
+        n = L
+        batch = {
+            "rigids_t": torch.cat([
+                torch.tensor([[1.0, 0, 0, 0]]).repeat(1, n, 1).reshape(1, n, 4),
+                torch.randn(1, n, 3)], dim=-1),
+            "t": torch.tensor([0.5]),
+            "residue_idx": torch.arange(n)[None],
+            "residue_mask": torch.ones(1, n),
+            "fixed_mask": torch.zeros(1, n),
+            "sc_ca_t": torch.zeros(1, n, 3),
+            "torsion_angles_sin_cos": torch.zeros(1, n, 7, 2),
+            "aatype": torch.zeros(1, n, dtype=torch.long),
+        }
+        with torch.no_grad():
+            net(batch)  # warmup
+            iters = 3
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                net(batch)
+            rate = iters / (time.perf_counter() - t0)
+        result = {"torch_nfe_per_sec": rate, "device": "cpu",
+                  "note": "reference DenoisingNet fwd, B=1, L=256"}
+        BASELINE_FILE.write_text(json.dumps(result, indent=1))
+        return rate
+    except Exception as e:
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        return None
+
+
+def main():
+    nfe_rate = measure_tpu_nfe_rate()
+    conf_per_sec = nfe_rate / NFE_PER_CONF
+    base_rate = measure_torch_baseline_nfe_rate()
+    vs = (nfe_rate / base_rate) if base_rate else None
+    print(json.dumps({
+        "metric": f"conformations/sec/chip @ L={L} (reference delta-grid protocol)",
+        "value": round(conf_per_sec, 4),
+        "unit": "conf/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

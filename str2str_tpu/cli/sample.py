@@ -1,0 +1,115 @@
+"""Sampling CLI: zero-shot conformation ensembles from input structures.
+
+Equivalent of the reference `python src/eval.py task_name=inference`
+(eval.py:102-161 + predict_step): for every input PDB, run the
+forward-perturb/reverse-anneal over the delta grid and write per-delta and
+merged multi-model PDB ensembles.
+
+Usage:
+    python -m str2str_tpu.cli.sample [data.dataset.path_to_dataset=testdata]
+        [ckpt_path=...] [model.inference.n_replica=100] [...]
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..config.core import load_config, parse_cli
+from ..data.featurize import FeaturizeConfig, featurize_padded, pick_bucket
+from ..data.dataset import ProteinDataset
+from ..factory import build_diffuser, build_network, build_sampler, load_params
+from ..io import pdb as pdb_io
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def example_net_batch(feats):
+    import jax.numpy as jnp
+    L = feats["aatype"].shape[0]
+    return {
+        "rigids_t": jnp.tile(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0]), (1, L, 1)),
+        "t": jnp.ones((1,)) * 0.5,
+        "residue_idx": jnp.asarray(feats["residue_idx"])[None],
+        "residue_mask": jnp.asarray(feats["residue_mask"])[None],
+        "fixed_mask": jnp.asarray(feats["fixed_mask"])[None],
+        "sc_ca_t": jnp.asarray(feats["sc_ca_t"])[None],
+        "torsion_angles_sin_cos": jnp.asarray(feats["torsion_angles_sin_cos"])[None],
+        "aatype": jnp.asarray(feats["aatype"])[None],
+    }
+
+
+def run(cfg) -> str:
+    t_cfg = cfg.data.dataset.transform
+    feat_cfg = FeaturizeConfig(
+        strip_missing_residues=t_cfg.strip_missing_residues,
+        recenter_and_scale=t_cfg.recenter_and_scale,
+        truncate_length=t_cfg.truncate_length)
+    ds = ProteinDataset(
+        str(cfg.data.dataset.path_to_dataset),
+        suffix=cfg.data.dataset.get("suffix", "pdb"),
+        transform=feat_cfg,
+        accession_codes=cfg.data.dataset.get("accession_code_filter"))
+
+    net = build_network(cfg)
+    diffuser = build_diffuser(cfg)
+    sampler = build_sampler(cfg, net, diffuser)
+
+    output_dir = Path(str(cfg.model.inference.output_dir))
+    all_delta_dir = output_dir / "all_delta"
+    all_delta_dir.mkdir(parents=True, exist_ok=True)
+
+    params = None
+    key = jax.random.PRNGKey(cfg.get("seed", 0) or 0)
+    for i in range(len(ds)):
+        prot = ds._load(i)
+        code = ds.accession_code(i)
+        feats = featurize_padded(prot, feat_cfg,
+                                 bucket=pick_bucket(prot.num_residues,
+                                                    cfg.data.get("buckets", (64, 128, 256, 384, 512))))
+        if params is None:
+            params = load_params(cfg, net, example_net_batch(feats))
+            n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+            log.info(f"params loaded: {n / 1e6:.2f}M "
+                     f"({'checkpoint' if cfg.get('ckpt_path') else 'random init'})")
+
+        t0 = time.time()
+        ensembles = sampler.sample_ensemble(
+            params, jax.random.fold_in(key, i), feats,
+            batch_deltas_together=bool(cfg.model.inference.get(
+                "batch_deltas_together", False)))
+        n_conf = sum(v.shape[0] for v in ensembles.values())
+        dt_s = time.time() - t0
+        log.info(f"[{code}] {n_conf} conformations in {dt_s:.1f}s "
+                 f"({n_conf / dt_s:.2f} conf/s) at L_pad={feats['aatype'].shape[0]}")
+
+        # Write per-delta PDBs + merged ensemble (unpadded region only).
+        n_res = prot.num_residues
+        extra = dict(aatype=feats["aatype"][:n_res],
+                     residue_index=feats["residue_index"][:n_res],
+                     chain_index=feats["chain_index"][:n_res])
+        saved = []
+        for delta, atom37 in sorted(ensembles.items()):
+            p = output_dir / str(delta) / f"{code}.pdb"
+            pdb_io.atom37_to_pdb(atom37[:, :n_res], str(p), **extra)
+            saved.append(str(p))
+        merged = all_delta_dir / f"{code}.pdb"
+        pdb_io.merge_pdbfiles(saved, str(merged))
+        log.info(f"[{code}] wrote {merged}")
+    return str(all_delta_dir)
+
+
+def main(argv=None):
+    name, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(name or "eval", overrides)
+    out = run(cfg)
+    log.info(f"samples written under {out}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

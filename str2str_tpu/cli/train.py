@@ -1,0 +1,111 @@
+"""Training CLI: denoising score-matching on preprocessed PDB data.
+
+Equivalent of the reference `python src/train.py` (train.py:43-108) without
+Lightning: seeds, datasets with a deterministic train/val split, the jitted
+SPMD trainer, checkpointing, CSV logs.
+
+Usage:
+    TRAIN_DATA=/path/to/pkls python -m str2str_tpu.cli.train \
+        trainer.max_epochs=100 data.batch_size=8 [...]
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..config.core import load_config, parse_cli
+from ..data.dataset import BucketedLoader, MetadataFilter, ProteinDataset, split_dataset
+from ..data.featurize import FeaturizeConfig
+from ..factory import build_diffuser, build_network
+from ..training.losses import loss_config_from
+from ..training.trainer import TrainConfig, Trainer
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def main(argv=None):
+    name, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(name or "train", overrides)
+
+    t_cfg = cfg.data.dataset.transform
+    ds = ProteinDataset(
+        str(cfg.data.dataset.path_to_dataset),
+        suffix=cfg.data.dataset.get("suffix", "pkl"),
+        transform=FeaturizeConfig(
+            strip_missing_residues=t_cfg.strip_missing_residues,
+            recenter_and_scale=t_cfg.recenter_and_scale,
+            truncate_length=t_cfg.truncate_length),
+        metadata_filter=MetadataFilter(
+            **(cfg.data.dataset.get("metadata_filter") or {})),
+        seed=cfg.data.get("generator_seed", 42))
+    train_idx, val_idx = split_dataset(
+        len(ds), tuple(cfg.data.get("train_val_split", (0.95, 0.05))),
+        seed=cfg.data.get("generator_seed", 42))
+    log.info(f"dataset: {len(ds)} examples -> {len(train_idx)} train / {len(val_idx)} val")
+
+    buckets = tuple(cfg.data.get("buckets", (64, 128, 256, 384, 512)))
+    train_loader = BucketedLoader(ds, train_idx, cfg.data.batch_size,
+                                  buckets=buckets, shuffle=cfg.data.get("shuffle", True),
+                                  seed=cfg.data.get("generator_seed", 42))
+    val_loader = (BucketedLoader(ds, val_idx, cfg.data.batch_size,
+                                 buckets=buckets, shuffle=False)
+                  if len(val_idx) else None)
+
+    net = build_network(cfg)
+    diffuser = build_diffuser(cfg)
+    tr = cfg.trainer
+    trainer = Trainer(
+        net, diffuser, loss_config_from(cfg),
+        TrainConfig(
+            lr=cfg.model.optimizer.lr,
+            weight_decay=cfg.model.optimizer.get("weight_decay", 0.0),
+            grad_clip=cfg.model.optimizer.get("grad_clip"),
+            plateau_factor=cfg.model.scheduler.get("factor", 0.1),
+            plateau_patience=cfg.model.scheduler.get("patience", 10),
+            max_epochs=tr.max_epochs, max_steps=tr.get("max_steps", -1),
+            seed=cfg.get("seed", 0) or 0, num_devices=tr.get("num_devices", -1),
+            log_every_n_steps=tr.get("log_every_n_steps", 50),
+            val_every_n_epochs=tr.get("val_every_n_epochs", 1),
+            ckpt_every_n_epochs=tr.get("ckpt_every_n_epochs", 1),
+            keep_ckpts=tr.get("keep_ckpts", 3),
+            detect_anomaly=tr.get("detect_anomaly", False)),
+        log_dir=str(cfg.paths.log_dir),
+        ckpt_dir=str(Path(str(cfg.paths.output_dir)) / "ckpt"))
+
+    # Initialize params from the first batch's shapes.
+    import jax
+    first = next(iter(train_loader))
+    from ..parallel import mesh as mesh_lib
+    example = {k: v for k, v in first.items() if isinstance(v, np.ndarray)}
+    init_batch = {
+        "rigids_t": np.tile(np.asarray([1.0, 0, 0, 0, 0, 0, 0], np.float32),
+                            (example["aatype"].shape[0], example["aatype"].shape[1], 1)),
+        "t": np.full((example["aatype"].shape[0],), 0.5, np.float32),
+        "residue_idx": example["residue_idx"],
+        "residue_mask": example["residue_mask"],
+        "fixed_mask": example["fixed_mask"],
+        "sc_ca_t": example["sc_ca_t"],
+        "torsion_angles_sin_cos": example["torsion_angles_sin_cos"],
+        "aatype": example["aatype"],
+    }
+    ckpt_path = cfg.get("ckpt_path")
+    if ckpt_path:
+        from ..factory import load_params
+        params = load_params(cfg, net)
+        log.info(f"loaded checkpoint {ckpt_path}")
+    else:
+        params = net.init(jax.random.PRNGKey(cfg.get("seed", 0) or 0), init_batch)
+
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    log.info(f"model: {n / 1e6:.2f}M params; mesh: {trainer.mesh.shape}")
+
+    result = trainer.fit(params, train_loader, val_loader)
+    log.info(f"training done at step {result['step']}; best val {result['best_val']:.4f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

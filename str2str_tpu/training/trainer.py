@@ -1,0 +1,282 @@
+"""Training loop: jitted SPMD train step, optimizer, plateau LR schedule,
+checkpointing, CSV logging.
+
+Replaces the reference's Lightning stack (DiffusionLitModule.model_step /
+training_step, diffusion_module.py:104-199; Trainer + DDP configs) with a
+pure-functional jax loop:
+
+  * `train_step` is one jit-compiled function — time sampling, SE(3) forward
+    perturbation, stochastic self-conditioning (lax.cond), network forward,
+    rescoring, loss, grads, optimizer update;
+  * data parallelism: batch sharded over a 1-D device mesh, params
+    replicated; XLA emits the gradient all-reduce (replaces DDP/NCCL);
+  * ReduceLROnPlateau on the epoch-mean validation loss via
+    optax.inject_hyperparams (replaces torch.optim.lr_scheduler);
+  * orbax checkpoints with resume; per-epoch CSV metrics log.
+"""
+from __future__ import annotations
+
+import csv
+import time
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.se3 import FrameState, SE3Diffusion
+from ..geometry.rigid import Rigid
+from ..parallel import mesh as mesh_lib
+from ..utils import checkpoints as ckpt_lib
+from .losses import LossConfig, score_matching_loss
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    grad_clip: Optional[float] = None
+    plateau_factor: float = 0.1
+    plateau_patience: int = 10
+    max_epochs: int = 500
+    max_steps: int = -1
+    seed: int = 0
+    num_devices: int = -1
+    log_every_n_steps: int = 50
+    val_every_n_epochs: int = 1
+    ckpt_every_n_epochs: int = 1
+    keep_ckpts: int = 3
+    detect_anomaly: bool = False
+    self_conditioning_prob: float = 0.5
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    chain = []
+    if cfg.grad_clip:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.weight_decay:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+    chain.append(opt)
+    return optax.chain(*chain)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate in-place (plateau schedule)."""
+    def visit(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+            node.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        return node
+    return jax.tree.map(visit, opt_state,
+                        is_leaf=lambda n: hasattr(n, "hyperparams"))
+
+
+def get_learning_rate(opt_state) -> float:
+    lrs = []
+
+    def visit(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+            lrs.append(float(node.hyperparams["learning_rate"]))
+        return node
+    jax.tree.map(visit, opt_state, is_leaf=lambda n: hasattr(n, "hyperparams"))
+    return lrs[0] if lrs else float("nan")
+
+
+class Trainer:
+    def __init__(self, net, diffuser: SE3Diffusion, loss_cfg: LossConfig,
+                 cfg: TrainConfig = TrainConfig(), log_dir: str = "outputs/logs",
+                 ckpt_dir: str = "outputs/ckpt"):
+        self.net = net
+        self.diffuser = diffuser
+        self.loss_cfg = loss_cfg
+        self.cfg = cfg
+        self.mesh = mesh_lib.make_mesh(cfg.num_devices)
+        self.optimizer = make_optimizer(cfg)
+        self.log_dir = Path(log_dir)
+        self.ckpt_dir = Path(ckpt_dir)
+        self._csv_file = None
+        self._compiled = {}
+
+    # ------------------------------------------------------------------
+    def model_step(self, params, key, batch, deterministic: bool):
+        """Time sampling + forward perturbation + net + rescoring + loss.
+        (reference model_step, diffusion_module.py:104-151)."""
+        cfg = self.cfg
+        k_t, k_fwd, k_sc_coin, k_sc, k_drop = jax.random.split(key, 5)
+
+        gt_rigids = Rigid.from_tensor_4x4(
+            batch["rigidgroups_gt_frames"][..., 0, :, :].astype(jnp.float32))
+        state_0 = FrameState.from_rigid(gt_rigids)
+        B = state_0.trans.shape[0]
+
+        min_t = self.diffuser.min_t
+        t = jax.random.uniform(k_t, (B,), minval=min_t, maxval=1.0)
+
+        perturb = self.diffuser.forward_marginal(k_fwd, state_0, t)
+        state_t = perturb["state_t"]
+
+        net_batch = {
+            "rigids_t": state_t.to_tensor_7(),
+            "t": t,
+            "residue_idx": batch["residue_idx"],
+            "residue_mask": batch["residue_mask"].astype(jnp.float32),
+            "fixed_mask": batch["fixed_mask"].astype(jnp.float32),
+            "sc_ca_t": jnp.zeros_like(state_t.trans),
+            "torsion_angles_sin_cos": batch["torsion_angles_sin_cos"].astype(jnp.float32),
+            "aatype": batch["aatype"],
+        }
+
+        # Stochastic self-conditioning: one coin per step (reference
+        # diffusion_module.py:133), extra forward without gradients.
+        if self.net.cfg.self_conditioning and cfg.self_conditioning_prob > 0:
+            def sc_fn(nb):
+                out = self.net.apply(params, nb, deterministic=True)
+                return jax.lax.stop_gradient(out["trans"])
+
+            coin = jax.random.bernoulli(k_sc_coin, cfg.self_conditioning_prob)
+            net_batch["sc_ca_t"] = jax.lax.cond(
+                coin, sc_fn, lambda nb: jnp.zeros_like(state_t.trans), net_batch)
+
+        out = self.net.apply(params, net_batch, deterministic=deterministic,
+                             rngs={"dropout": k_drop})
+
+        pred_state = FrameState(out["quat"], out["trans"])
+        pred_scores = self.diffuser.score(
+            pred_state, state_t, t, mask=net_batch["residue_mask"])
+
+        loss_batch = {
+            "t": t,
+            "seq_mask": batch["seq_mask"].astype(jnp.float32),
+            "fixed_mask": net_batch["fixed_mask"],
+            "rot_score": perturb["rot_score"],
+            "trans_score": perturb["trans_score"],
+            "rot_score_scaling": perturb["rot_score_scaling"],
+            "trans_score_scaling": perturb["trans_score_scaling"],
+            "gt_trans_0": state_0.trans,
+            "torsion_angles_sin_cos": net_batch["torsion_angles_sin_cos"],
+            "aatype": batch["aatype"],
+            "rigidgroups_gt_frames": batch["rigidgroups_gt_frames"],
+        }
+        loss_out = dict(out)
+        loss_out.update(pred_scores)
+        return score_matching_loss(loss_out, loss_batch, self.loss_cfg)
+
+    # ------------------------------------------------------------------
+    def _train_step(self, params, opt_state, key, batch):
+        def loss_fn(p):
+            loss, bd = self.model_step(p, key, batch, deterministic=False)
+            return loss, bd
+
+        (loss, breakdown), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {**breakdown, "grad_norm": gnorm}
+        return params, opt_state, metrics
+
+    def _eval_step(self, params, key, batch):
+        loss, breakdown = self.model_step(params, key, batch, deterministic=True)
+        return breakdown
+
+    def compile(self):
+        self.train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+        self.eval_step = jax.jit(self._eval_step)
+
+    # ------------------------------------------------------------------
+    def _log_csv(self, row: Dict[str, Any]):
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        path = self.log_dir / "metrics.csv"
+        exists = path.exists()
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
+
+    def fit(self, params, train_loader, val_loader=None,
+            resume_from: Optional[str] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        self.compile()
+        opt_state = self.optimizer.init(params)
+        start_epoch, step = 0, 0
+        if resume_from:
+            restored = ckpt_lib.load_checkpoint(resume_from)
+            params = restored["params"]
+            if "opt_state" in restored:
+                opt_state = jax.tree.unflatten(
+                    jax.tree.structure(opt_state),
+                    jax.tree.leaves(restored["opt_state"]))
+            step = int(restored.get("step", 0))
+            start_epoch = int(restored.get("epoch", 0))
+
+        if cfg.detect_anomaly:
+            jax.config.update("jax_debug_nans", True)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        best_val, plateau_wait, lr = float("inf"), 0, cfg.lr
+        history = []
+
+        for epoch in range(start_epoch, cfg.max_epochs):
+            t0 = time.time()
+            train_metrics = []
+            for batch in train_loader:
+                batch = mesh_lib.shard_batch(
+                    {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
+                    self.mesh)
+                key, k_step = jax.random.split(key)
+                params, opt_state, metrics = self.train_step(
+                    params, opt_state, k_step, batch)
+                step += 1
+                if step % cfg.log_every_n_steps == 0:
+                    train_metrics.append({k: float(v) for k, v in metrics.items()})
+                if 0 < cfg.max_steps <= step:
+                    break
+
+            row = {"epoch": epoch, "step": step, "lr": lr,
+                   "epoch_time_s": round(time.time() - t0, 2)}
+            if train_metrics:
+                for k in train_metrics[0]:
+                    row[f"train/{k}"] = float(np.mean([m[k] for m in train_metrics]))
+
+            if val_loader is not None and (epoch + 1) % cfg.val_every_n_epochs == 0:
+                val_losses = []
+                for batch in val_loader:
+                    batch = mesh_lib.shard_batch(
+                        {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
+                        self.mesh)
+                    key, k_step = jax.random.split(key)
+                    bd = self.eval_step(params, k_step, batch)
+                    val_losses.append(float(bd["loss"]))
+                val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+                row["val/loss"] = val_loss
+
+                # ReduceLROnPlateau on val loss.
+                if val_loss < best_val - 1e-12:
+                    best_val, plateau_wait = val_loss, 0
+                else:
+                    plateau_wait += 1
+                    if plateau_wait > cfg.plateau_patience:
+                        lr *= cfg.plateau_factor
+                        opt_state = set_learning_rate(opt_state, lr)
+                        plateau_wait = 0
+
+            self._log_csv(row)
+            history.append(row)
+
+            if (epoch + 1) % cfg.ckpt_every_n_epochs == 0:
+                ckpt_lib.save_checkpoint(
+                    str(self.ckpt_dir / f"step_{step}"),
+                    {"params": params, "opt_state": opt_state,
+                     "step": step, "epoch": epoch + 1},
+                    metadata={"val_loss": row.get("val/loss"), "epoch": epoch})
+                ckpt_lib.prune_checkpoints(str(self.ckpt_dir), cfg.keep_ckpts)
+
+            if 0 < cfg.max_steps <= step:
+                break
+
+        return {"params": params, "opt_state": opt_state, "step": step,
+                "history": history, "best_val": best_val}

@@ -1,0 +1,97 @@
+"""End-to-end CLI smoke tests on the in-repo fixtures (tiny settings)."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from str2str_tpu.config.core import load_config
+
+CACHE = tempfile.mkdtemp(prefix="e2e_cache_")
+
+FAST_DIFFUSER = [
+    "model.diffuser.rotation.num_sigma=50",
+    "model.diffuser.rotation.num_omega=100",
+    "model.diffuser.rotation.n_terms=300",
+    f"model.diffuser.rotation.cache_dir={CACHE}",
+]
+
+
+def test_config_composition_and_overrides():
+    cfg = load_config("eval", ["model.inference.n_replica=7", "data=protein"])
+    assert cfg.model.inference.n_replica == 7
+    assert cfg.data.dataset.suffix == "pkl"  # group swapped
+    cfg2 = load_config("train", ["trainer=cpu"])
+    assert cfg2.trainer.max_steps == 20
+    assert cfg2.model.net.node_embed_size == 256
+
+
+def test_sample_cli_end_to_end(tmp_path, fixture_pdb):
+    from str2str_tpu.cli.sample import main as sample_main
+    from str2str_tpu.io import protein as prot_io
+
+    out = sample_main([
+        f"data.dataset.path_to_dataset={fixture_pdb}",
+        f"model.inference.output_dir={tmp_path}/samples",
+        "model.inference.n_replica=3",
+        "model.inference.replica_per_batch=3",
+        "model.inference.num_timesteps=10",
+        "model.inference.delta_min=0.3",
+        "model.inference.delta_max=0.4",
+        "model.inference.delta_step=0.1",
+        "data.buckets=[16]",
+        *FAST_DIFFUSER,
+    ])
+    merged = os.path.join(out, "CLN025.pdb")
+    assert os.path.exists(merged)
+    models = prot_io.parse_pdb_models(open(merged).read())
+    assert len(models) == 6  # 3 replicas x 2 deltas
+    assert models[0].num_residues == 10
+    for m in models:
+        assert np.isfinite(m.atom_positions).all()
+
+
+def test_evaluate_cli(tmp_path, fixture_pdb, rng):
+    """Metrics path: fake a prediction ensemble + target ensemble."""
+    from str2str_tpu.cli.evaluate import evaluate_prediction
+    from str2str_tpu.io import pdb as pdb_io
+    from str2str_tpu.io import protein as prot_io
+
+    prot = prot_io.from_pdb_string(fixture_pdb.read_text())
+    pred_dir, target_dir = tmp_path / "pred", tmp_path / "target"
+    for d, n, noise in ((pred_dir, 30, 0.4), (target_dir, 60, 0.35)):
+        ens = prot.atom_positions[None] + noise * rng.randn(n, 1, 1, 3).astype(np.float32) \
+            + 0.1 * rng.randn(n, prot.num_residues, 37, 3).astype(np.float32)
+        pdb_io.atom37_to_pdb(ens, str(d / "CLN025.pdb"), aatype=prot.aatype,
+                             residue_index=prot.residue_index,
+                             atom_mask=prot.atom_mask)
+    csv_path = evaluate_prediction(str(pred_dir), str(target_dir),
+                                   str(tmp_path / "eval"))
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0].startswith("target\tval_clash")
+    assert lines[-1].startswith("MEAN")
+    assert len(lines) == 3  # header + CLN025 + MEAN
+
+
+@pytest.mark.slow
+def test_train_cli_smoke(tmp_path):
+    """Two tiny training steps over the fixture PDBs on the CPU mesh."""
+    from str2str_tpu.cli.train import main as train_main
+
+    result = train_main([
+        "trainer=cpu",
+        "data.dataset.path_to_dataset=testdata",
+        "data.dataset.suffix=pdb",
+        "data.batch_size=2",
+        "data.buckets=[96]",
+        "data.dataset.metadata_filter=null",
+        "trainer.max_epochs=1",
+        "trainer.max_steps=2",
+        "trainer.log_every_n_steps=1",
+        "trainer.num_devices=1",
+        f"paths.output_dir={tmp_path}",
+        *FAST_DIFFUSER,
+    ])
+    assert result["step"] == 2
+    hist = result["history"]
+    assert np.isfinite(hist[-1]["train/loss"])
