@@ -101,10 +101,23 @@ def extract_backbone_coords(path: str, atoms: Sequence[str] = ("CA",),
                             max_models: Optional[int] = None) -> np.ndarray:
     """(B, L*len(atoms), 3) backbone coordinates from a multi-model PDB
     (reference pdb_utils.py:255-317). Residues missing any requested atom in
-    the FIRST model define the common mask applied to every model."""
-    models = prot_io.parse_pdb_models(Path(path).read_text(),
-                                      max_models=max_models)
+    the FIRST model define the common mask applied to every model.
+
+    Uses the native C++ ensemble parser when available (MD reference
+    trajectories run to thousands of models); falls back to the Python
+    parser otherwise."""
     idx = [ch.atom_order[a] for a in atoms]
+    text = Path(path).read_text()
+
+    from . import native
+    ens = native.parse_pdb_ensemble(text, max_models=max_models) \
+        if native.is_available() else None
+    if ens is not None:
+        keep = np.all(ens["mask"][0][:, idx] > 0.5, axis=-1)
+        sel = ens["positions"][:, keep][:, :, idx, :]  # (M, L', n_atoms, 3)
+        return sel.reshape(sel.shape[0], -1, 3)
+
+    models = prot_io.parse_pdb_models(text, max_models=max_models)
     keep = np.all(models[0].atom_mask[:, idx] > 0.5, axis=-1)
     coords = []
     for m in models:

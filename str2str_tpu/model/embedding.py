@@ -14,7 +14,7 @@ import math
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import MLP
+from .layers import MLP, linear
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_positions: int = 10000) -> jnp.ndarray:
@@ -46,6 +46,67 @@ def distogram(pos: jnp.ndarray, min_bin: float, max_bin: float, num_bins: int) -
     return ((d[..., None] > lower) & (d[..., None] < upper)).astype(pos.dtype)
 
 
+class EdgeEmbedder(nn.Module):
+    """Edge-feature MLP with a decomposed first layer.
+
+    The reference concatenates [t_row, t_col, relpos, sc-distogram] into a
+    [B, L, L, ~120] tensor before a 3-layer MLP. Mathematically the first
+    linear splits per input block, so: the two time-feature blocks are rank-L
+    (computed at [B, L, .] and broadcast-added), the one-hot distogram block
+    becomes a row *gather* of the kernel (no [B, L, L, 22] tensor, no
+    matmul), and only the relative-position block is a genuine L^2 matmul.
+    Kernel layout matches the reference's packed first layer, so torch
+    checkpoints convert by simple transpose."""
+    edge_embed_size: int
+    t_feat_dim: int      # per-node time-feature width (t embed + fixed flag)
+    pos_embed_size: int
+    num_bins: int
+    min_bin: float
+    max_bin: float
+    self_conditioning: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_feats, rel_pos_embed, sc_ca):
+        """t_feats: (B, L, t_feat_dim); rel_pos_embed: (B, L, L, pos);
+        sc_ca: (B, L, 3). Returns (B, L, L, edge_embed_size)."""
+        d = self.edge_embed_size
+        tf, pe, nb = self.t_feat_dim, self.pos_embed_size, self.num_bins
+        self_cond = self.self_conditioning
+        in_dim = 2 * tf + pe + (nb if self_cond else 0)
+
+        k0 = self.param("linear_0_kernel",
+                        nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                        (in_dim, d))
+        b0 = self.param("linear_0_bias", nn.initializers.zeros, (d,))
+        dt = self.dtype
+
+        tfc = t_feats.astype(dt)
+        row = jnp.einsum("...ic,cd->...id", tfc, k0[:tf].astype(dt))
+        col = jnp.einsum("...ic,cd->...id", tfc, k0[tf:2 * tf].astype(dt))
+        x = row[..., :, None, :] + col[..., None, :, :]
+        x = x + jnp.einsum("...ijc,cd->...ijd", rel_pos_embed.astype(dt),
+                           k0[2 * tf:2 * tf + pe].astype(dt))
+
+        if self_cond:
+            # One-hot distogram x kernel == gather of kernel rows, except the
+            # reference's strict inequalities zero out exact-boundary values
+            # (incl. the d=0 diagonal, which falls below the first lower edge).
+            kd = k0[2 * tf + pe:].astype(dt)                      # (nb, d)
+            dist = jnp.linalg.norm(
+                sc_ca[..., :, None, :] - sc_ca[..., None, :, :] + 1e-20, axis=-1)
+            lower = jnp.linspace(self.min_bin, self.max_bin, nb)
+            idx = jnp.clip(jnp.searchsorted(lower, dist, side="left") - 1, 0, nb - 1)
+            valid = (dist > lower[0]) & (dist != lower[jnp.clip(
+                jnp.searchsorted(lower, dist, side="left"), 0, nb - 1)])
+            x = x + jnp.where(valid[..., None], jnp.take(kd, idx, axis=0), 0.0)
+
+        x = nn.relu(x + b0.astype(dt))
+        x = nn.relu(linear(d, init="relu", dtype=dt, name="linear_1")(x))
+        x = linear(d, init="default", dtype=dt, name="linear_2")(x)
+        return nn.LayerNorm(dtype=dt, param_dtype=jnp.float32, name="norm")(x)
+
+
 class EmbeddingModule(nn.Module):
     init_embed_size: int = 32
     node_embed_size: int = 256
@@ -70,26 +131,19 @@ class EmbeddingModule(nn.Module):
                            (1, L, 1))
         t_embed = jnp.concatenate([t_embed, fixed], axis=-1)  # (B, L, D+1)
 
-        node_feats = [t_embed, positional_embedding(residue_idx, self.init_embed_size)]
-
-        pair_feats = [jnp.concatenate([
-            jnp.broadcast_to(t_embed[:, :, None, :], (B, L, L, t_embed.shape[-1])),
-            jnp.broadcast_to(t_embed[:, None, :, :], (B, L, L, t_embed.shape[-1])),
-        ], axis=-1)]
-
-        rel_offset = residue_idx[:, :, None] - residue_idx[:, None, :]
-        pair_feats.append(positional_embedding(rel_offset, self.init_embed_size))
-
-        if self.self_conditioning:
-            pair_feats.append(distogram(
-                sc_ca_t.astype(jnp.float32), self.min_bin, self.max_bin,
-                self.num_bins))
-
-        node_in = jnp.concatenate(node_feats, axis=-1).astype(self.dtype)
-        edge_in = jnp.concatenate(pair_feats, axis=-1).astype(self.dtype)
-
+        node_in = jnp.concatenate(
+            [t_embed, positional_embedding(residue_idx, self.init_embed_size)],
+            axis=-1).astype(self.dtype)
         node_embed = MLP((self.node_embed_size,) * 3, dtype=self.dtype,
                          name="node_embed")(node_in)
-        edge_embed = MLP((self.edge_embed_size,) * 3, dtype=self.dtype,
-                         name="edge_embed")(edge_in)
+
+        rel_offset = residue_idx[:, :, None] - residue_idx[:, None, :]
+        rel_pos = positional_embedding(rel_offset, self.init_embed_size)
+        edge_embed = EdgeEmbedder(
+            edge_embed_size=self.edge_embed_size,
+            t_feat_dim=t_embed.shape[-1],
+            pos_embed_size=self.init_embed_size,
+            num_bins=self.num_bins, min_bin=self.min_bin, max_bin=self.max_bin,
+            self_conditioning=self.self_conditioning, dtype=self.dtype,
+            name="edge_embed")(t_embed, rel_pos, sc_ca_t.astype(jnp.float32))
         return node_embed, edge_embed

@@ -52,7 +52,13 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray]) -> dict:
         if m:
             which, idx, kind = m.group(1), int(m.group(2)), m.group(3)
             base = ("embedder", f"{which}_embed")
-            if idx in (0, 2, 4):  # Linear layers of the Sequential
+            if idx == 0 and which == "edge":
+                # Decomposed first layer: flat kernel/bias params.
+                if kind == "weight":
+                    put(base + ("linear_0_kernel",), arr, transpose=True)
+                else:
+                    put(base + ("linear_0_bias",), arr)
+            elif idx in (0, 2, 4):  # Linear layers of the Sequential
                 leaf = "kernel" if kind == "weight" else "bias"
                 put(base + (f"linear_{idx // 2}", leaf), arr, transpose=kind == "weight")
             else:  # index 5: LayerNorm
@@ -128,16 +134,28 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray]) -> dict:
                 continue
 
             if module.startswith("edge_transition_"):
-                em = re.match(r"(initial_embed|final_layer)\.(weight|bias)$", rest)
+                # Our EdgeTransition decomposes the concat matmuls but keeps
+                # the same kernel shapes as flat (in, out) parameters.
+                em = re.match(r"initial_embed\.(weight|bias)$", rest)
                 if em:
-                    leaf = "kernel" if em.group(2) == "weight" else "bias"
-                    put(base + (em.group(1), leaf), arr, transpose=em.group(2) == "weight")
+                    leaf = "kernel" if em.group(1) == "weight" else "bias"
+                    put(base + ("initial_embed", leaf), arr,
+                        transpose=em.group(1) == "weight")
+                    continue
+                em = re.match(r"final_layer\.(weight|bias)$", rest)
+                if em:
+                    if em.group(1) == "weight":
+                        put(base + ("final_kernel",), arr, transpose=True)
+                    else:
+                        put(base + ("final_bias",), arr)
                     continue
                 em = re.match(r"trunk\.(\d+)\.(weight|bias)$", rest)
                 if em:  # Sequential [Linear, ReLU, Linear, ReLU] -> 0, 2
-                    leaf = "kernel" if em.group(2) == "weight" else "bias"
-                    put(base + (f"trunk_{int(em.group(1)) // 2}", leaf), arr,
-                        transpose=em.group(2) == "weight")
+                    i = int(em.group(1)) // 2
+                    if em.group(2) == "weight":
+                        put(base + (f"trunk_{i}_kernel",), arr, transpose=True)
+                    else:
+                        put(base + (f"trunk_{i}_bias",), arr)
                     continue
                 em = re.match(r"layer_norm\.(weight|bias)$", rest)
                 if em:
