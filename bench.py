@@ -27,6 +27,9 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+from str2str_tpu.utils.jax_setup import setup as _jax_setup
+_jax_setup()
+
 L = 256                  # benchmark sequence length
 B = int(os.environ.get("BENCH_BATCH", "8"))   # replicas per device batch
 T_BENCH = int(os.environ.get("BENCH_STEPS", "200"))  # timed anneal steps

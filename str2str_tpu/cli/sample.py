@@ -16,6 +16,9 @@ import time
 from pathlib import Path
 
 import jax
+
+from ..utils.jax_setup import setup as _jax_setup
+_jax_setup()
 import numpy as np
 
 from ..config.core import load_config, parse_cli

@@ -27,6 +27,8 @@ log = get_logger(__name__)
 
 
 def main(argv=None):
+    from ..utils.jax_setup import setup as _jax_setup
+    _jax_setup()
     name, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
     cfg = load_config(name or "train", overrides)
 

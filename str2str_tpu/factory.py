@@ -29,6 +29,7 @@ def build_network(cfg: Config) -> ScoreNetwork:
         c_hidden=n.c_hidden, no_heads=n.no_heads,
         no_qk_points=n.no_qk_points, no_v_points=n.no_v_points,
         dropout=n.dropout, dtype=n.dtype,
+        use_pallas=n.get("use_pallas", "auto"),
     ))
 
 

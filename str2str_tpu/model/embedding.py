@@ -89,17 +89,12 @@ class EdgeEmbedder(nn.Module):
                            k0[2 * tf:2 * tf + pe].astype(dt))
 
         if self_cond:
-            # One-hot distogram x kernel == gather of kernel rows, except the
-            # reference's strict inequalities zero out exact-boundary values
-            # (incl. the d=0 diagonal, which falls below the first lower edge).
+            # One-hot distogram @ kernel block. A [nb, d] row-gather would be
+            # algebraically identical but lowers to slow dynamic gathers on
+            # TPU; the tiny one-hot matmul stays on the MXU.
             kd = k0[2 * tf + pe:].astype(dt)                      # (nb, d)
-            dist = jnp.linalg.norm(
-                sc_ca[..., :, None, :] - sc_ca[..., None, :, :] + 1e-20, axis=-1)
-            lower = jnp.linspace(self.min_bin, self.max_bin, nb)
-            idx = jnp.clip(jnp.searchsorted(lower, dist, side="left") - 1, 0, nb - 1)
-            valid = (dist > lower[0]) & (dist != lower[jnp.clip(
-                jnp.searchsorted(lower, dist, side="left"), 0, nb - 1)])
-            x = x + jnp.where(valid[..., None], jnp.take(kd, idx, axis=0), 0.0)
+            onehot = distogram(sc_ca, self.min_bin, self.max_bin, nb).astype(dt)
+            x = x + jnp.einsum("...ijc,cd->...ijd", onehot, kd)
 
         x = nn.relu(x + b0.astype(dt))
         x = nn.relu(linear(d, init="relu", dtype=dt, name="linear_1")(x))

@@ -156,6 +156,7 @@ class TranslationIPA(nn.Module):
     no_v_points: int = 12
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"
 
     @nn.compact
     def __call__(self, node_embed, edge_embed, rigids_t7, residue_mask,
@@ -209,6 +210,7 @@ class TranslationIPA(nn.Module):
             if b < self.no_ipa_blocks - 1:
                 edge_embed = EdgeTransition(
                     edge_embed_out=self.c_z, dtype=self.dtype,
+                    use_pallas=self.use_pallas,
                     name=f"edge_transition_{b}")(node_embed, edge_embed)
                 edge_embed = edge_embed * edge_mask[..., None]
 

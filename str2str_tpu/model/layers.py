@@ -70,6 +70,18 @@ class NodeTransition(nn.Module):
         return nn.LayerNorm(dtype=jnp.float32, name="ln")(s + h)
 
 
+class _LNParams(nn.Module):
+    """Bare LayerNorm parameters (scale/bias) under a named scope, applied
+    manually inside fused kernels."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
 class EdgeTransition(nn.Module):
     """Edge update biased by the node embeddings (reference layers.py:148).
 
@@ -85,6 +97,7 @@ class EdgeTransition(nn.Module):
     num_layers: int = 2
     node_dilation: int = 2
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"  # "auto" | "on" | "off"
 
     @nn.compact
     def __call__(self, node_embed, edge_embed):
@@ -105,28 +118,31 @@ class EdgeTransition(nn.Module):
                         (hidden, self.edge_embed_out))
         bf = self.param("final_bias", nn.initializers.zeros,
                         (self.edge_embed_out,))
+        ln_scale, ln_bias = _LNParams(self.edge_embed_out, name="layer_norm")()
 
         dt = self.dtype
         z = edge_embed.astype(dt)
         n = node_small.astype(dt)
 
-        def split_apply(kernel):
-            """x @ kernel for x = [z ; row(n) ; col(n)] without forming x."""
-            kz = kernel[:c_edge].astype(dt)
+        from ..ops import edge_mlp as _em
+
+        use_pallas = (self.use_pallas == "on"
+                      or (self.use_pallas == "auto" and _em.is_supported()))
+
+        # Rank-L node contributions through the kernel slices.
+        def node_parts(kernel):
             ki = kernel[c_edge:c_edge + bias_dim].astype(dt)
             kj = kernel[c_edge + bias_dim:].astype(dt)
-            zz = jnp.einsum("...ijc,cd->...ijd", z, kz)
-            ni = jnp.einsum("...ic,cd->...id", n, ki)
-            nj = jnp.einsum("...jc,cd->...jd", n, kj)
-            return zz + ni[..., :, None, :] + nj[..., None, :, :]
+            return (jnp.einsum("...ic,cd->...id", n, ki),
+                    jnp.einsum("...jc,cd->...jd", n, kj))
 
-        h = nn.relu(split_apply(k1) + b1.astype(dt))
-        h = nn.relu(jnp.einsum("...ijc,cd->...ijd", h, k2.astype(dt)) + b2.astype(dt))
-        # final_layer(h + x) = h @ kf + [z; row; col] @ kf
-        out = jnp.einsum("...ijc,cd->...ijd", h, kf[:hidden].astype(dt))
-        out = out + split_apply(kf) + bf.astype(dt)
-        return nn.LayerNorm(dtype=dt, param_dtype=jnp.float32,
-                            name="layer_norm")(out)
+        ni1, nj1 = node_parts(k1)
+        nfi, nfj = node_parts(kf)
+
+        fn = _em.edge_mlp_pallas if use_pallas else _em.edge_mlp_reference
+        return fn(z, ni1, nj1, nfi, nfj,
+                  k1[:c_edge], k2, kf, kf[:c_edge], b1, b2, bf,
+                  ln_scale, ln_bias)
 
 
 class TorsionAngleHead(nn.Module):

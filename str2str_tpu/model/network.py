@@ -43,6 +43,9 @@ class NetworkConfig:
     dropout: float = 0.1
     # compute dtype for the big matmuls ("float32" or "bfloat16")
     dtype: str = "float32"
+    # fused Pallas edge-MLP kernel: "auto" (on TPU), "on", "off"
+    # (inference-only for now; training always uses the XLA path)
+    use_pallas: str = "auto"
 
 
 class ScoreNetwork(nn.Module):
@@ -87,7 +90,8 @@ class ScoreNetwork(nn.Module):
             transformer_num_layers=cfg.transformer_num_layers,
             c_hidden=cfg.c_hidden, no_heads=cfg.no_heads,
             no_qk_points=cfg.no_qk_points, no_v_points=cfg.no_v_points,
-            dropout=cfg.dropout, dtype=dtype, name="translator")(
+            dropout=cfg.dropout, dtype=dtype, use_pallas=cfg.use_pallas,
+            name="translator")(
             node_embed, edge_embed, batch["rigids_t"].astype(jnp.float32),
             node_mask, fixed_mask, deterministic=deterministic)
 

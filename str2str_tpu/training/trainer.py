@@ -90,6 +90,11 @@ class Trainer:
     def __init__(self, net, diffuser: SE3Diffusion, loss_cfg: LossConfig,
                  cfg: TrainConfig = TrainConfig(), log_dir: str = "outputs/logs",
                  ckpt_dir: str = "outputs/ckpt"):
+        # The fused Pallas kernels have no VJP yet; train on the XLA path.
+        from dataclasses import replace as _dc_replace
+        from ..model.network import ScoreNetwork as _SN
+        if isinstance(net, _SN) and net.cfg.use_pallas != "off":
+            net = _SN(_dc_replace(net.cfg, use_pallas="off"))
         self.net = net
         self.diffuser = diffuser
         self.loss_cfg = loss_cfg

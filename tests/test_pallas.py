@@ -1,0 +1,77 @@
+"""Fused Pallas kernels: equivalence with the XLA path.
+
+On the CPU test platform the kernels run in interpreter mode; the TPU path
+is additionally exercised by bench.py / the sampling CLI.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from str2str_tpu.ops import edge_mlp
+
+
+def _args(rng, B=2, L=32, Cz=16, H=48, Cout=16, dtype=jnp.float32):
+    def r(*shape, scale=0.3):
+        return jnp.asarray(rng.randn(*shape) * scale, dtype=jnp.float32)
+
+    z = r(B, L, L, Cz).astype(dtype)
+    return (z, r(B, L, H), r(B, L, H), r(B, L, Cout), r(B, L, Cout),
+            r(Cz, H), r(H, H), r(H, Cout), r(Cz, Cout),
+            r(H, scale=0.1), r(H, scale=0.1), r(Cout, scale=0.1),
+            jnp.ones(Cout), jnp.zeros(Cout))
+
+
+def test_edge_mlp_kernel_matches_reference(rng):
+    args = _args(rng)
+    ref = edge_mlp.edge_mlp_reference(*args)
+    # Interpreter mode makes the kernel runnable on CPU.
+    import functools
+    from jax.experimental import pallas as pl
+
+    with jax.disable_jit(False):
+        out = _interpret_pallas(args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def _interpret_pallas(args):
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+
+    real_call = pl.pallas_call
+
+    def fake_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", fake_call):
+        return edge_mlp.edge_mlp_pallas(*args)
+
+
+def test_edge_transition_layer_matches_between_paths(rng):
+    """The EdgeTransition flax layer must give identical results with
+    use_pallas on (interpreted) and off."""
+    from str2str_tpu.model.layers import EdgeTransition
+
+    node = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    edge = jnp.asarray(rng.randn(2, 16, 16, 24), jnp.float32)
+
+    off = EdgeTransition(edge_embed_out=24, use_pallas="off")
+    params = off.init(jax.random.PRNGKey(0), node, edge)
+    out_off = off.apply(params, node, edge)
+
+    on = EdgeTransition(edge_embed_out=24, use_pallas="on")
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    real_call = pl.pallas_call
+
+    def fake_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", fake_call):
+        out_on = on.apply(params, node, edge)
+    np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_on),
+                               atol=2e-5, rtol=2e-5)
