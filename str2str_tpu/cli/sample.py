@@ -61,6 +61,12 @@ def run(cfg) -> str:
     net = build_network(cfg)
     diffuser = build_diffuser(cfg)
     sampler = build_sampler(cfg, net, diffuser)
+    n_dev = int(cfg.model.inference.get("num_devices", 1) or 1)
+    if n_dev != 1 and len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+        sampler.mesh = make_mesh(n_dev)
+        log.info(f"sampling over mesh {sampler.mesh.shape}")
+    profile_dir = cfg.model.inference.get("profile")
 
     output_dir = Path(str(cfg.model.inference.output_dir))
     all_delta_dir = output_dir / "all_delta"
@@ -81,10 +87,15 @@ def run(cfg) -> str:
                      f"({'checkpoint' if cfg.get('ckpt_path') else 'random init'})")
 
         t0 = time.time()
+        if profile_dir and i == 0:
+            jax.profiler.start_trace(str(profile_dir))
         ensembles = sampler.sample_ensemble(
             params, jax.random.fold_in(key, i), feats,
             batch_deltas_together=bool(cfg.model.inference.get(
                 "batch_deltas_together", False)))
+        if profile_dir and i == 0:
+            jax.profiler.stop_trace()
+            log.info(f"profiler trace written to {profile_dir}")
         n_conf = sum(v.shape[0] for v in ensembles.values())
         dt_s = time.time() - t0
         log.info(f"[{code}] {n_conf} conformations in {dt_s:.1f}s "

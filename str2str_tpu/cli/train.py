@@ -73,7 +73,8 @@ def main(argv=None):
             val_every_n_epochs=tr.get("val_every_n_epochs", 1),
             ckpt_every_n_epochs=tr.get("ckpt_every_n_epochs", 1),
             keep_ckpts=tr.get("keep_ckpts", 3),
-            detect_anomaly=tr.get("detect_anomaly", False)),
+            detect_anomaly=tr.get("detect_anomaly", False),
+            profile_dir=(str(cfg.paths.log_dir) + "/profile") if tr.get("profile") else ""),
         log_dir=str(cfg.paths.log_dir),
         ckpt_dir=str(Path(str(cfg.paths.output_dir)) / "ckpt"))
 

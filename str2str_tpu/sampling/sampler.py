@@ -76,10 +76,15 @@ class Sampler:
     """Binds a ScoreNetwork apply-fn and an SE3Diffusion into jitted
     forward-backward sampling kernels."""
 
-    def __init__(self, net, diffuser: SE3Diffusion, cfg: SamplerConfig = SamplerConfig()):
+    def __init__(self, net, diffuser: SE3Diffusion, cfg: SamplerConfig = SamplerConfig(),
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — replica
+        batches shard across it (each chip anneals its slice; no collectives
+        on the hot path)."""
         self.net = net
         self.diffuser = diffuser
         self.cfg = cfg
+        self.mesh = mesh
 
     # ------------------------------------------------------------------
     def _net_out_state(self, out) -> FrameState:
@@ -224,6 +229,13 @@ class Sampler:
             batch = {k: jnp.asarray(np.broadcast_to(v, (B,) + v.shape))
                      for k, v in feats_single.items()
                      if isinstance(v, np.ndarray)}
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                bsh = NamedSharding(self.mesh, P("data"))
+                batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+                ts = jax.device_put(ts, NamedSharding(self.mesh, P(None, "data")))
+                active = jax.device_put(active, NamedSharding(self.mesh, P(None, "data")))
+                dt = jax.device_put(dt, bsh)
             out = self.run(params, jax.random.fold_in(key, j), batch, ts, dt, active)
             atom37 = np.asarray(out["atom37"])[:len(job_deltas)]
             for d in np.unique(job_deltas):

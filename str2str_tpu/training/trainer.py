@@ -51,6 +51,7 @@ class TrainConfig:
     ckpt_every_n_epochs: int = 1
     keep_ckpts: int = 3
     detect_anomaly: bool = False
+    profile_dir: str = ""
     self_conditioning_prob: float = 0.5
 
 
@@ -233,9 +234,15 @@ class Trainer:
                     {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
                     self.mesh)
                 key, k_step = jax.random.split(key)
+                if cfg.profile_dir and step == 2:
+                    jax.profiler.start_trace(cfg.profile_dir)
                 params, opt_state, metrics = self.train_step(
                     params, opt_state, k_step, batch)
                 step += 1
+                if cfg.profile_dir and step == 6:
+                    jax.tree.map(lambda x: x.block_until_ready(),
+                                 metrics)
+                    jax.profiler.stop_trace()
                 if step % cfg.log_every_n_steps == 0:
                     train_metrics.append({k: float(v) for k, v in metrics.items()})
                 if 0 < cfg.max_steps <= step:
