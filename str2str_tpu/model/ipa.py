@@ -49,6 +49,20 @@ def _invert_apply_frames(frames: Frames, pts: jnp.ndarray) -> jnp.ndarray:
     return rot.quat_rotate(q_inv[..., None, :], pts - frames.trans[..., None, :])
 
 
+class _DenseParams(nn.Module):
+    """Bare Dense parameters (kernel/bias) under a named scope, matching
+    nn.Dense's param layout, applied manually inside fused kernels."""
+    in_dim: int
+    out_dim: int
+    kernel_init: object = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init, (self.in_dim, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias
+
+
 class InvariantPointAttention(nn.Module):
     c_hidden: int = 256
     no_heads: int = 8
@@ -57,6 +71,7 @@ class InvariantPointAttention(nn.Module):
     inf: float = 1e5
     eps: float = 1e-8
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"
 
     @nn.compact
     def __call__(self, s: jnp.ndarray, z: jnp.ndarray, frames: Frames,
@@ -89,47 +104,67 @@ class InvariantPointAttention(nn.Module):
         kv_pts = _apply_frames(frames, kv_pts).reshape(B, L, H, Pq + Pv, 3)
         k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
 
-        # --- attention logits -------------------------------------------------
-        b = linear(H, dtype=self.dtype, name="linear_b")(z)  # (B, L, L, H)
-
-        a = jnp.einsum("blhc,bmhc->bhlm", q, k, precision=_HP)
-        a = a * math.sqrt(1.0 / (3 * C))
-        a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2))
-
-        # Point attention via the distance expansion (MXU form).
         head_weights = nn.softplus(self.param(
             "head_weights", nn.initializers.constant(0.541324854612918), (H,)))
-        pt_scale = head_weights * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
 
-        qf = q_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
-        kf = k_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
-        cross = jnp.einsum("bhlp,bhmp->bhlm", qf, kf, precision=_HP)
-        q_sq = jnp.sum(qf * qf, axis=-1)  # (B, H, L)
-        k_sq = jnp.sum(kf * kf, axis=-1)
-        dist2 = q_sq[..., :, None] + k_sq[..., None, :] - 2.0 * cross
-        a = a - 0.5 * pt_scale[None, :, None, None] * dist2
+        kb, bb = _DenseParams(c_z, H, name="linear_b")()
+        kdz, bdz = _DenseParams(c_z, c_z // 4, name="down_z")()
 
-        square_mask = self.inf * (mask[:, None, :, None] * mask[:, None, None, :] - 1.0)
-        a = a + square_mask
-        a = nn.softmax(a.astype(jnp.float32), axis=-1)
+        from ..ops import ipa_attention as _ia
 
-        # --- outputs -----------------------------------------------------------
-        # scalar values
-        o = jnp.einsum("bhlm,bmhc->blhc", a.astype(v.dtype), v, precision=_HP)
-        o = o.reshape(B, L, H * C)
+        use_pallas = (self.use_pallas == "on"
+                      or (self.use_pallas == "auto" and _ia.is_supported()))
 
-        # point values: aggregate in global coords, then back to local frames
-        vf = v_pts.transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pv * 3)
-        o_pt = jnp.einsum("bhlm,bhmp->bhlp", a.astype(vf.dtype), vf, precision=_HP)
-        o_pt = o_pt.reshape(B, H, L, Pv, 3).transpose(0, 2, 1, 3, 4)  # (B,L,H,Pv,3)
-        o_pt = _invert_apply_frames(frames, o_pt.reshape(B, L, H * Pv, 3))
+        if use_pallas:
+            o, opt_flat, o_pair = _ia.ipa_attention_pallas(
+                q.reshape(B, L, H * C),
+                k.reshape(B, L, H * C), v.reshape(B, L, H * C),
+                q_pts.reshape(B, L, H * Pq * 3),
+                k_pts.reshape(B, L, H * Pq * 3),
+                v_pts.reshape(B, L, H * Pv * 3),
+                z, kb, bb, kdz, bdz, head_weights, mask, inf=self.inf)
+            o_pt = opt_flat.reshape(B, L, H * Pv, 3)
+        else:
+            a = jnp.einsum("blhc,bmhc->bhlm", q, k, precision=_HP)
+            a = a * math.sqrt(1.0 / (3 * C))
+            b = jnp.einsum("blmc,ch->blmh", z, kb.astype(z.dtype)) + bb
+            a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2))
+
+            # Point attention via the distance expansion (MXU form).
+            pt_scale = head_weights * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
+            qf = q_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
+            kf = k_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
+            cross = jnp.einsum("bhlp,bhmp->bhlm", qf, kf, precision=_HP)
+            q_sq = jnp.sum(qf * qf, axis=-1)  # (B, H, L)
+            k_sq = jnp.sum(kf * kf, axis=-1)
+            dist2 = q_sq[..., :, None] + k_sq[..., None, :] - 2.0 * cross
+            a = a - 0.5 * pt_scale[None, :, None, None] * dist2
+
+            square_mask = self.inf * (mask[:, None, :, None] * mask[:, None, None, :] - 1.0)
+            a = a + square_mask
+            a = nn.softmax(a.astype(jnp.float32), axis=-1)
+
+            # scalar values
+            o = jnp.einsum("bhlm,bmhc->blhc", a.astype(v.dtype), v, precision=_HP)
+            o = o.reshape(B, L, H * C)
+
+            # point values: aggregate in global coords
+            vf = v_pts.transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pv * 3)
+            o_pt = jnp.einsum("bhlm,bhmp->bhlp", a.astype(vf.dtype), vf, precision=_HP)
+            o_pt = o_pt.reshape(B, H, L, Pv, 3).transpose(0, 2, 1, 3, 4)
+            o_pt = o_pt.reshape(B, L, H * Pv, 3)
+
+            # pair values
+            pair_z = (jnp.einsum("blmc,cd->blmd", z, kdz.astype(z.dtype))
+                      + bdz).astype(z.dtype)
+            o_pair = jnp.einsum("bhlm,blmc->blhc", a.astype(pair_z.dtype),
+                                pair_z, precision=_HP).reshape(B, L, H * (c_z // 4))
+            o_pair = o_pair.astype(o.dtype)
+
+        # back to local frames + norms
+        o_pt = _invert_apply_frames(frames, o_pt)
         o_pt_norm = jnp.sqrt(jnp.sum(o_pt.astype(jnp.float32) ** 2, axis=-1)
                              + self.eps).astype(o.dtype)  # (B, L, H*Pv)
-
-        # pair values
-        pair_z = linear(c_z // 4, dtype=self.dtype, name="down_z")(z)
-        o_pair = jnp.einsum("bhlm,blmc->blhc", a.astype(pair_z.dtype), pair_z,
-                            precision=_HP).reshape(B, L, H * (c_z // 4))
 
         # Concat order matches the reference: [o, o_pt x/y/z, norms, pair].
         o_feats = jnp.concatenate(
@@ -175,7 +210,8 @@ class TranslationIPA(nn.Module):
             ipa_out = InvariantPointAttention(
                 c_hidden=self.c_hidden, no_heads=self.no_heads,
                 no_qk_points=self.no_qk_points, no_v_points=self.no_v_points,
-                dtype=self.dtype, name=f"ipa_{b}")(
+                dtype=self.dtype, use_pallas=self.use_pallas,
+                name=f"ipa_{b}")(
                 node_embed, edge_embed, frames, node_mask)
             ipa_out = ipa_out * node_mask[..., None]
             node_embed = nn.LayerNorm(dtype=jnp.float32, name=f"ipa_ln_{b}")(

@@ -33,6 +33,10 @@ class LossConfig:
     pwd_weight: float = 0.25
     pwd_t_threshold: float = 0.25
     pwd_dist_threshold: float = 6.0
+    fape_enabled: bool = False
+    fape_weight: float = 0.5
+    fape_clamp_distance: float = 10.0
+    fape_t_threshold: float = 0.25
     eps: float = 1e-6
 
 
@@ -86,7 +90,7 @@ def score_matching_loss(out: Dict[str, jnp.ndarray],
     losses = {"translation": _guard(trans_loss), "rotation": _guard(rot_loss)}
     total = cfg.trans_weight * losses["translation"] + cfg.rot_weight * losses["rotation"]
 
-    if cfg.backbone_enabled or cfg.pwd_enabled:
+    if cfg.backbone_enabled or cfg.pwd_enabled or cfg.fape_enabled:
         gt_rigids = Rigid.from_tensor_4x4(
             batch["rigidgroups_gt_frames"][..., 0, :, :].astype(jnp.float32))
         gt_psi = batch["torsion_angles_sin_cos"][..., 2, :].astype(jnp.float32)
@@ -125,6 +129,18 @@ def score_matching_loss(out: Dict[str, jnp.ndarray],
         losses["pwd"] = _guard(jnp.mean(pwd_loss))
         total = total + cfg.pwd_weight * losses["pwd"]
 
+    if cfg.fape_enabled:
+        from .aux_losses import compute_fape
+        pred_rigids = Rigid.from_quat_trans(
+            out["quat"].astype(jnp.float32), out["trans"].astype(jnp.float32))
+        fape = compute_fape(
+            pred_rigids, gt_rigids, loss_mask,
+            pred_rigids.trans, gt_rigids.trans, loss_mask,
+            length_scale=10.0, l1_clamp_distance=cfg.fape_clamp_distance)
+        fape = fape * (t < cfg.fape_t_threshold)
+        losses["fape"] = _guard(jnp.mean(fape))
+        total = total + cfg.fape_weight * losses["fape"]
+
     losses["loss"] = total
     return total, losses
 
@@ -144,5 +160,9 @@ def loss_config_from(cfg) -> LossConfig:
         pwd_weight=l.pwd.get("weight", 0.25),
         pwd_t_threshold=l.pwd.get("t_threshold", 0.25),
         pwd_dist_threshold=l.pwd.get("dist_threshold", 6.0),
+        fape_enabled=l.get("fape", {}).get("enabled", False),
+        fape_weight=l.get("fape", {}).get("weight", 0.5),
+        fape_clamp_distance=l.get("fape", {}).get("clamp_distance", 10.0),
+        fape_t_threshold=l.get("fape", {}).get("t_threshold", 0.25),
         eps=l.eps,
     )

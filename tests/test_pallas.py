@@ -75,3 +75,67 @@ def test_edge_transition_layer_matches_between_paths(rng):
         out_on = on.apply(params, node, edge)
     np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_on),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_ipa_attention_kernel_matches_reference(rng):
+    from str2str_tpu.ops import ipa_attention as IA
+
+    B, L, H, C, Pq, Pv, Cz = 2, 32, 4, 16, 4, 6, 24
+    def r(*s, sc=0.5):
+        return jnp.asarray(rng.randn(*s) * sc, jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[:, -5:] = 0
+    args = (r(B, L, H * C), r(B, L, H * C), r(B, L, H * C),
+            r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pv),
+            r(B, L, L, Cz), r(Cz, H), r(H, sc=0.1), r(Cz, Cz // 4),
+            r(Cz // 4, sc=0.1), jnp.abs(r(H)) + 0.5, jnp.asarray(mask))
+
+    ref = IA.ipa_attention_reference(*args)
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    real_call = pl.pallas_call
+
+    def fake_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", fake_call):
+        out = IA.ipa_attention_pallas(*args, query_block=16)
+    m = mask[..., None]
+    for name, a, b in zip(("o", "opt", "opair"), ref, out):
+        np.testing.assert_allclose(np.asarray(a) * m, np.asarray(b) * m,
+                                   atol=2e-5, rtol=1e-4, err_msg=name)
+
+
+def test_ipa_module_paths_match(rng):
+    """InvariantPointAttention with use_pallas on (interpreted) == off,
+    for real (unmasked) rows."""
+    from str2str_tpu.model.ipa import Frames, InvariantPointAttention
+    from str2str_tpu.geometry import rotations as R
+
+    B, L = 1, 16
+    s = jnp.asarray(rng.randn(B, L, 32), jnp.float32)
+    z = jnp.asarray(rng.randn(B, L, L, 16), jnp.float32)
+    frames = Frames(
+        R.random_quat(jax.random.PRNGKey(0), (B, L)),
+        jnp.asarray(rng.randn(B, L, 3) * 4, jnp.float32))
+    mask = jnp.ones((B, L))
+
+    kw = dict(c_hidden=16, no_heads=4, no_qk_points=4, no_v_points=6)
+    off = InvariantPointAttention(use_pallas="off", **kw)
+    params = off.init(jax.random.PRNGKey(1), s, z, frames, mask)
+    out_off = off.apply(params, s, z, frames, mask)
+
+    on = InvariantPointAttention(use_pallas="on", **kw)
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    real_call = pl.pallas_call
+
+    def fake_call(*a, **kws):
+        kws["interpret"] = True
+        return real_call(*a, **kws)
+
+    with mock.patch.object(pl, "pallas_call", fake_call):
+        out_on = on.apply(params, s, z, frames, mask)
+    np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_on),
+                               atol=3e-5, rtol=1e-4)
