@@ -100,7 +100,7 @@ def main(argv=None):
         params = load_params(cfg, net)
         log.info(f"loaded checkpoint {ckpt_path}")
     else:
-        params = net.init(jax.random.PRNGKey(cfg.get("seed", 0) or 0), init_batch)
+        params = trainer.net.init(jax.random.PRNGKey(cfg.get("seed", 0) or 0), init_batch)
 
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     log.info(f"model: {n / 1e6:.2f}M params; mesh: {trainer.mesh.shape}")

@@ -30,6 +30,7 @@ def build_network(cfg: Config) -> ScoreNetwork:
         no_qk_points=n.no_qk_points, no_v_points=n.no_v_points,
         dropout=n.dropout, dtype=n.dtype,
         use_pallas=n.get("use_pallas", "auto"),
+        use_pallas_ipa=n.get("use_pallas_ipa", "off"),
     ))
 
 

@@ -192,6 +192,7 @@ class TranslationIPA(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"
+    use_pallas_ipa: str = "off"
 
     @nn.compact
     def __call__(self, node_embed, edge_embed, rigids_t7, residue_mask,
@@ -210,7 +211,7 @@ class TranslationIPA(nn.Module):
             ipa_out = InvariantPointAttention(
                 c_hidden=self.c_hidden, no_heads=self.no_heads,
                 no_qk_points=self.no_qk_points, no_v_points=self.no_v_points,
-                dtype=self.dtype, use_pallas=self.use_pallas,
+                dtype=self.dtype, use_pallas=self.use_pallas_ipa,
                 name=f"ipa_{b}")(
                 node_embed, edge_embed, frames, node_mask)
             ipa_out = ipa_out * node_mask[..., None]

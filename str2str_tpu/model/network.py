@@ -46,6 +46,10 @@ class NetworkConfig:
     # fused Pallas edge-MLP kernel: "auto" (on TPU), "on", "off"
     # (inference-only for now; training always uses the XLA path)
     use_pallas: str = "auto"
+    # fused IPA attention kernel: experimental — correct but currently slower
+    # than the XLA path at fp32 and blocked by a Mosaic bug at bf16; "off"
+    # by default, "on" to experiment
+    use_pallas_ipa: str = "off"
 
 
 class ScoreNetwork(nn.Module):
@@ -91,6 +95,7 @@ class ScoreNetwork(nn.Module):
             c_hidden=cfg.c_hidden, no_heads=cfg.no_heads,
             no_qk_points=cfg.no_qk_points, no_v_points=cfg.no_v_points,
             dropout=cfg.dropout, dtype=dtype, use_pallas=cfg.use_pallas,
+            use_pallas_ipa=cfg.use_pallas_ipa,
             name="translator")(
             node_embed, edge_embed, batch["rigids_t"].astype(jnp.float32),
             node_mask, fixed_mask, deterministic=deterministic)

@@ -47,7 +47,7 @@ def _kernel(q_ref, k_ref, v_ref, qf_ref, kf_ref, vf_ref, z_ref,
     qf: (1, Qb, H*3Pq) kf: (1, L, H*3Pq) vf: (1, L, H*3Pv)
     z: (1, Qb, L, Cz)
     kb: (Cz, H) bb: (1, H)  kdz: (Cz, Cdz) bdz: (1, Cdz)
-    hw: (1, H) softplus'd head weights; mask: (1, L)
+    hw: (1, H) softplus'd head weights; mask: (1, 1, L)
     outputs: o (1, Qb, H*C), opt (1, Qb, H*3Pv), opair (1, Qb, H*Cdz)
     """
     Qb = q_ref.shape[1]
@@ -64,7 +64,7 @@ def _kernel(q_ref, k_ref, v_ref, qf_ref, kf_ref, vf_ref, z_ref,
     pz = jnp.dot(z2, kdz_ref[:], preferred_element_type=jnp.float32)
     pz = (pz + bdz_ref[0]).reshape(Qb, L, Cdz).astype(dt)
 
-    mask_bias = inf * (mask_ref[0] - 1.0)  # (L,) 0 for real, -inf-ish for pad
+    mask_bias = inf * (mask_ref[0, 0] - 1.0)  # (L,) 0 real, -inf-ish pad
 
     scale_qk = math.sqrt(1.0 / (3 * C))
     scale_b = math.sqrt(1.0 / 3)
@@ -120,9 +120,29 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
     Pq = q_pts.shape[-1] // (3 * H)
     Pv = v_pts.shape[-1] // (3 * H)
     Cdz = kdz.shape[1]
-    qb = min(query_block, Qtot)
-    while Qtot % qb:
-        qb -= 1
+
+    # VMEM budget: shrink the query block until the working set fits; the
+    # kernel holds full-L key/value blocks, so very large L falls back to XLA
+    # (key-block streaming is future work).
+    s = jnp.dtype(q.dtype).itemsize
+    fixed = 2 * (2 * L * H * C * s            # k, v (double-buffered)
+                 + L * H * 3 * (Pq + Pv) * s)  # kf, vf
+    budget = 13 * 1024 * 1024
+
+    qb = None
+    for cand in (query_block, 32, 16, 8):
+        if cand > Qtot or Qtot % cand:
+            continue
+        per_q = (2 * cand * L * Cz * s        # z tile (double-buffered)
+                 + cand * L * (H + Cdz) * 4   # bias + pz intermediates
+                 + cand * L * 4)              # logits
+        if fixed + per_q <= budget:
+            qb = cand
+            break
+    if qb is None:
+        return ipa_attention_reference(
+            q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+            head_weights, mask, inf=inf)
 
     kern = functools.partial(_kernel, H=H, C=C, Pq=Pq, Pv=Pv, inf=inf)
     grid = (B, Qtot // qb)
@@ -144,7 +164,7 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
             pl.BlockSpec((Cz, Cdz), lambda b, i: (0, 0)),
             pl.BlockSpec((1, Cdz), lambda b, i: (0, 0)),
             pl.BlockSpec((1, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, L), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, qb, H * C), lambda b, i: (b, i, 0)),
@@ -160,7 +180,7 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
       kb.astype(dt), bb.reshape(1, -1).astype(jnp.float32),
       kdz.astype(dt), bdz.reshape(1, -1).astype(jnp.float32),
       head_weights.reshape(1, -1).astype(jnp.float32),
-      mask.astype(jnp.float32))
+      mask.astype(jnp.float32).reshape(B, 1, L))
     return o, opt, opair
 
 

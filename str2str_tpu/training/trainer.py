@@ -94,8 +94,10 @@ class Trainer:
         # The fused Pallas kernels have no VJP yet; train on the XLA path.
         from dataclasses import replace as _dc_replace
         from ..model.network import ScoreNetwork as _SN
-        if isinstance(net, _SN) and net.cfg.use_pallas != "off":
-            net = _SN(_dc_replace(net.cfg, use_pallas="off"))
+        if isinstance(net, _SN) and (net.cfg.use_pallas != "off"
+                                     or net.cfg.use_pallas_ipa != "off"):
+            net = _SN(_dc_replace(net.cfg, use_pallas="off",
+                                  use_pallas_ipa="off"))
         self.net = net
         self.diffuser = diffuser
         self.loss_cfg = loss_cfg
