@@ -62,7 +62,7 @@ def main(argv=None):
     trainer = Trainer(
         net, diffuser, loss_config_from(cfg),
         TrainConfig(
-            lr=cfg.model.optimizer.lr,
+            lr=float(cfg.model.optimizer.lr),
             weight_decay=cfg.model.optimizer.get("weight_decay", 0.0),
             grad_clip=cfg.model.optimizer.get("grad_clip"),
             plateau_factor=cfg.model.scheduler.get("factor", 0.1),

@@ -72,12 +72,25 @@ class Config(dict):
         return conv(self)
 
 
+_NUMERIC = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
 def _parse_value(text: str) -> Any:
-    """YAML-parse a scalar override value ('5'->int, 'true'->bool, ...)."""
+    """YAML-parse a scalar override value ('5'->int, 'true'->bool, ...).
+
+    YAML 1.1 does not treat '3e-4' (no decimal point) as a float; catch that
+    class of scientific-notation literals explicitly so numeric CLI overrides
+    never silently become strings."""
     try:
-        return yaml.safe_load(text)
+        v = yaml.safe_load(text)
     except yaml.YAMLError:
         return text
+    if isinstance(v, str) and _NUMERIC.match(v.strip()):
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
 
 
 def _deep_merge(base: dict, extra: dict) -> dict:
