@@ -100,7 +100,9 @@ class SO3Diffusion:
 
         t: (B,) with B = vec.shape[0]."""
         eps = self.cfg.eps
-        omega = jnp.linalg.norm(vec, axis=-1) + eps
+        # sqrt(.+tiny) keeps the gradient finite at vec == 0 (identity
+        # relative rotation; see rotations.quat_to_axis_angle).
+        omega = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-24) + eps
         t_idx = self.t_to_idx(t)
         if self.cfg.use_cached_score:
             norms_t = self.tables.score_norms[t_idx]        # (B, num_omega)

@@ -168,7 +168,11 @@ def quat_to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
     """
     q = standardize_quat(q)
     xyz = q[..., 1:]
-    norm_xyz = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    # Gradient-safe norm: at the identity rotation xyz == 0 exactly and the
+    # plain norm's gradient is 0/0 = NaN (this is hit on every training
+    # step-1, where the zero-initialized update head makes the predicted
+    # rotation equal its input).
+    norm_xyz = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1, keepdims=True) + 1e-24)
     angle = 2.0 * jnp.arctan2(norm_xyz, q[..., :1])
     angle2 = angle * angle
     small = angle <= 1e-3

@@ -114,12 +114,15 @@ def score_matching_loss(out: Dict[str, jnp.ndarray],
         res_mask = (seq_mask * loss_mask).reshape(B, L, 1)
         atom_mask = jnp.tile(res_mask, (1, 1, 5)).reshape(B, L * 5)
 
-        gt_pwd = jnp.linalg.norm(
-            gt_flat[:, :, None, :] - gt_flat[:, None, :, :], axis=-1
-        ) * atom_mask[..., None]
-        pred_pwd = jnp.linalg.norm(
-            pred_flat[:, :, None, :] - pred_flat[:, None, :, :], axis=-1
-        ) * atom_mask[..., None]
+        # Gradient-safe pairwise norms: the diagonal self-distances are exact
+        # zeros, where jnp.linalg.norm's gradient is NaN (torch, which the
+        # reference uses, defines a zero subgradient there instead).
+        def safe_pwd(x):
+            d2 = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, axis=-1)
+            return jnp.sqrt(d2 + 1e-20)
+
+        gt_pwd = safe_pwd(gt_flat) * atom_mask[..., None]
+        pred_pwd = safe_pwd(pred_flat) * atom_mask[..., None]
 
         pair_mask = atom_mask[:, :, None] * atom_mask[:, None, :]
         pair_mask = pair_mask * (pred_pwd < cfg.pwd_dist_threshold)

@@ -140,3 +140,24 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(restored["params"]["a"], tree["params"]["a"])
     assert int(restored["step"]) == 7
     assert C.latest_checkpoint(str(tmp_path)) == str(tmp_path / "step_7")
+
+
+def test_grads_finite_at_identity_prediction(rng):
+    """Regression: at step 1 the zero-init update head predicts exactly the
+    input rotation; the relative-quaternion score path must still have finite
+    gradients (gradient-safe norms in quat_to_axis_angle / so3.score)."""
+    import optax
+
+    net, trainer = _tiny_setup()
+    batch = _batch(rng, B=2, L=12)
+    params = _init_params(net, batch)
+
+    def loss_fn(p, key):
+        loss, _ = trainer.model_step(p, key, batch, deterministic=True)
+        return loss
+
+    grads = jax.grad(loss_fn)(params, jax.random.PRNGKey(0))
+    gnorm = float(optax.global_norm(grads))
+    assert np.isfinite(gnorm), gnorm
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
