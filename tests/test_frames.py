@@ -121,3 +121,19 @@ def test_parity_compute_backbone(rng, reference_available):
         Rigid.from_tensor_4x4(jnp.asarray(bb_4x4)), jnp.asarray(psi), jnp.asarray(aatype[None]))
     np.testing.assert_allclose(np.asarray(my37), ref_atom37.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(my14), ref_atom14.numpy(), atol=1e-4)
+
+
+def test_kabsch_rmsd(rng):
+    from str2str_tpu.geometry.align import rmsd
+    from str2str_tpu.geometry import rotations as R
+
+    x = jnp.asarray(rng.randn(5, 20, 3) * 5, jnp.float32)
+    rot = R.axis_angle_to_matrix(jnp.asarray(rng.randn(5, 3), jnp.float32))
+    moved = jnp.einsum("bij,bnj->bni", rot, x) + jnp.asarray(
+        rng.randn(5, 1, 3) * 10, jnp.float32)
+    # Rigid transforms align to ~0 RMSD.
+    np.testing.assert_allclose(np.asarray(rmsd(moved, x)), 0.0, atol=1e-4)
+    # Added noise shows up as RMSD of the right magnitude.
+    noisy = moved + 0.5 * jnp.asarray(rng.randn(5, 20, 3), jnp.float32)
+    r = np.asarray(rmsd(noisy, x))
+    assert np.all((r > 0.3) & (r < 1.2))

@@ -106,3 +106,19 @@ def test_network_parity_with_reference(rng, reference_available):
     np.testing.assert_allclose(np.asarray(out["psi"]), ref_out["psi"].numpy(), atol=1e-3)
     np.testing.assert_allclose(np.asarray(out["atom37"]), ref_out["atom37"].numpy(),
                                atol=5e-3)
+
+
+def test_transformer_dropout_active(rng):
+    """Dropout must differentiate train/eval mode at the encoder level (at
+    the full-trunk level its effect is hidden at init by zero-initialized
+    output projections)."""
+    from str2str_tpu.model.layers import TransformerEncoder
+
+    x = jnp.asarray(rng.randn(2, 8, 16), jnp.float32)
+    enc = TransformerEncoder(num_layers=1, num_heads=2, dim_feedforward=16,
+                             dropout=0.5)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    o1 = enc.apply(params, x, deterministic=True)
+    o2 = enc.apply(params, x, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    assert float(jnp.abs(o1 - o2).max()) > 1e-3
