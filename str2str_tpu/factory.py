@@ -72,10 +72,14 @@ def load_params(cfg: Config, net: ScoreNetwork, example_batch=None, rng_seed: in
     import jax
 
     ckpt_path = cfg.get("ckpt_path") or ""
-    if ckpt_path and str(ckpt_path).endswith((".pth", ".pt", ".ckpt")):
-        from .utils.torch_convert import load_torch_checkpoint
-        return load_torch_checkpoint(str(ckpt_path))
-    if ckpt_path and Path(str(ckpt_path)).exists():
+    if ckpt_path:
+        if not Path(str(ckpt_path)).exists():
+            raise FileNotFoundError(
+                f"ckpt_path={ckpt_path!r} does not exist "
+                "(set ckpt_path= empty for random init)")
+        if str(ckpt_path).endswith((".pth", ".pt", ".ckpt")):
+            from .utils.torch_convert import load_torch_checkpoint
+            return load_torch_checkpoint(str(ckpt_path))
         from .utils.checkpoints import load_checkpoint
         return load_checkpoint(str(ckpt_path))["params"]
     if example_batch is None:
