@@ -67,6 +67,7 @@ def main(argv=None):
             grad_clip=cfg.model.optimizer.get("grad_clip"),
             plateau_factor=cfg.model.scheduler.get("factor", 0.1),
             plateau_patience=cfg.model.scheduler.get("patience", 10),
+            min_lr=float(cfg.model.scheduler.get("min_lr", 1e-8)),
             max_epochs=tr.max_epochs, max_steps=tr.get("max_steps", -1),
             seed=cfg.get("seed", 0) or 0, num_devices=tr.get("num_devices", -1),
             log_every_n_steps=tr.get("log_every_n_steps", 50),

@@ -42,6 +42,7 @@ class TrainConfig:
     grad_clip: Optional[float] = None
     plateau_factor: float = 0.1
     plateau_patience: int = 10
+    min_lr: float = 1e-8
     max_epochs: int = 500
     max_steps: int = -1
     seed: int = 0
@@ -274,7 +275,7 @@ class Trainer:
                 else:
                     plateau_wait += 1
                     if plateau_wait > cfg.plateau_patience:
-                        lr *= cfg.plateau_factor
+                        lr = max(lr * cfg.plateau_factor, cfg.min_lr)
                         opt_state = set_learning_rate(opt_state, lr)
                         plateau_wait = 0
 

@@ -78,6 +78,9 @@ def _init_params(net, batch):
 
 @pytest.mark.slow
 def test_loss_decreases_on_overfit(rng):
+    """Loss trends down when overfitting one batch. The per-step loss is
+    high-variance (t ~ U(min_t, 1) re-drawn each step), so compare wide
+    windows over a longer run."""
     net, trainer = _tiny_setup()
     batch = _batch(rng)
     params = _init_params(net, batch)
@@ -85,11 +88,11 @@ def test_loss_decreases_on_overfit(rng):
     key = jax.random.PRNGKey(0)
     losses = []
     sharded = mesh_lib.shard_batch(batch, trainer.mesh)
-    for i in range(60):
+    for i in range(150):
         key, k = jax.random.split(key)
         params, opt_state, metrics = trainer.train_step(params, opt_state, k, sharded)
         losses.append(float(metrics["loss"]))
-    first, last = np.mean(losses[:10]), np.mean(losses[-10:])
+    first, last = np.mean(losses[:30]), np.mean(losses[-30:])
     assert np.isfinite(losses).all()
     assert last < 0.8 * first, (first, last)
 
