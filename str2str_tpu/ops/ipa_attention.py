@@ -90,15 +90,17 @@ def _kernel(q_ref, k_ref, v_ref, qf_ref, kf_ref, vf_ref, z_ref,
 
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        p_f32 = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = p_f32.astype(dt)
 
         o_ref[0, :, h * C:(h + 1) * C] = jnp.dot(
             p, v_h, preferred_element_type=jnp.float32).astype(dt)
         opt_ref[0, :, h * 3 * Pv:(h + 1) * 3 * Pv] = jnp.dot(
             p, vf_h, preferred_element_type=jnp.float32).astype(dt)
-        # o_pair[i, c] = sum_j p[i, j] * pz[i, j, c]  (per-row contraction)
-        opair = jnp.sum(p[:, :, None].astype(jnp.float32)
-                        * pz.astype(jnp.float32), axis=1)
+        # o_pair[i, c] = sum_j p[i, j] * pz[i, j, c]  (per-row contraction).
+        # Expand the minor dim on the f32 tensor: Mosaic only supports
+        # non-no-op minor-dim insertion for 32-bit types.
+        opair = jnp.sum(p_f32[:, :, None] * pz.astype(jnp.float32), axis=1)
         opair_ref[0, :, h * Cdz:(h + 1) * Cdz] = opair.astype(dt)
 
 
@@ -123,17 +125,20 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
 
     # VMEM budget: shrink the query block until the working set fits; the
     # kernel holds full-L key/value blocks, so very large L falls back to XLA
-    # (key-block streaming is future work).
+    # (key-block streaming is future work). Mosaic materializes fp32 copies
+    # of bf16 operands feeding fp32-accumulating dots, so intermediates are
+    # costed at 4 bytes regardless of input dtype.
     s = jnp.dtype(q.dtype).itemsize
     fixed = 2 * (2 * L * H * C * s            # k, v (double-buffered)
                  + L * H * 3 * (Pq + Pv) * s)  # kf, vf
     budget = 13 * 1024 * 1024
 
     qb = None
-    for cand in (query_block, 32, 16, 8):
+    for cand in (min(query_block, 16), 8):
         if cand > Qtot or Qtot % cand:
             continue
         per_q = (2 * cand * L * Cz * s        # z tile (double-buffered)
+                 + cand * L * Cz * 4          # fp32 upcast copy of the tile
                  + cand * L * (H + Cdz) * 4   # bias + pz intermediates
                  + cand * L * 4)              # logits
         if fixed + per_q <= budget:
