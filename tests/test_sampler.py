@@ -96,3 +96,22 @@ def test_sampler_determinism(setup):
     o3 = sampler.run(params, jax.random.PRNGKey(8), batch, ts, dt, active)
     np.testing.assert_array_equal(np.asarray(o1["atom37"]), np.asarray(o2["atom37"]))
     assert not np.allclose(np.asarray(o1["atom37"]), np.asarray(o3["atom37"]))
+
+
+def test_mixed_delta_rows_are_independent(setup):
+    """In a mixed-delta batch, each row's trajectory must depend only on its
+    own schedule: changing another row's delta must not change this row."""
+    prot, feats, net, diffuser, params = setup
+    sampler = Sampler(net, diffuser, SamplerConfig(num_timesteps=20,
+                                                   replica_per_batch=2))
+    batch = {k: jnp.asarray(np.broadcast_to(v, (2,) + v.shape))
+             for k, v in feats.items() if isinstance(v, np.ndarray)}
+    key = jax.random.PRNGKey(11)
+    ts1, dt1, act1 = build_schedule(np.asarray([0.5, 0.3], np.float32), 20, 0.01)
+    ts2, dt2, act2 = build_schedule(np.asarray([0.5, 0.45], np.float32), 20, 0.01)
+    o1 = sampler.run(params, key, batch, ts1, dt1, act1)
+    o2 = sampler.run(params, key, batch, ts2, dt2, act2)
+    # Row 0 (same delta, same key) identical; row 1 (different delta) differs.
+    np.testing.assert_array_equal(np.asarray(o1["atom37"][0]),
+                                  np.asarray(o2["atom37"][0]))
+    assert not np.allclose(np.asarray(o1["atom37"][1]), np.asarray(o2["atom37"][1]))
