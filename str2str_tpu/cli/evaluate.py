@@ -29,21 +29,48 @@ log = get_logger(__name__)
 METRIC_COLUMNS = ["val_clash", "val_bond", "js_pwd", "js_tica", "js_rg"]
 
 
-def plot_tics(tics: dict, save_to: str):
+def plot_tics(tics: dict, save_to: str, ref_key: str = "target",
+              n_max_point: int = 1000):
+    """Per-ensemble TICA scatter panels, colored by Gaussian-KDE density with
+    axes framed by the reference ensemble (reference scatterplot_2d,
+    plot_utils.py:16-100; mako-style colormap, shared xy limits + margin)."""
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+        from scipy.stats import gaussian_kde
     except Exception:
         return
-    fig, ax = plt.subplots(figsize=(5, 5))
-    for name, xy in tics.items():
-        ax.scatter(xy[:, 0], xy[:, 1], s=4, alpha=0.4, label=name)
-    ax.set_xlabel("TIC 1")
-    ax.set_ylabel("TIC 2")
-    ax.legend()
+    frame = tics.get(ref_key, next(iter(tics.values())))
+    x_min, x_max = float(frame[:, 0].min()), float(frame[:, 0].max())
+    y_min, y_max = float(frame[:, 1].min()), float(frame[:, 1].max())
+    x_min -= (x_max - x_min) / 5.0
+    x_max += (x_max - x_min) / 5.0
+    y_min -= (y_max - y_min) / 5.0
+    y_max += (y_max - y_min) / 5.0
+
+    n = len(tics)
+    fig, axes = plt.subplots(1, n, figsize=(6 * n, 6), squeeze=False)
+    rng = np.random.RandomState(0)
+    for ax, (name, xy) in zip(axes[0], tics.items()):
+        if name != ref_key and xy.shape[0] > n_max_point:
+            xy = xy[rng.choice(xy.shape[0], n_max_point, replace=False)]
+        if xy.shape[0] < xy.shape[1]:
+            density = np.full(xy.shape[0], 1.0 / max(xy.shape[0], 1))
+        else:
+            try:
+                density = gaussian_kde(xy.T)(xy.T)
+            except np.linalg.LinAlgError:  # degenerate ensemble
+                density = np.full(xy.shape[0], 1.0 / max(xy.shape[0], 1))
+        ax.scatter(xy[:, 0], xy[:, 1], s=10, alpha=0.7, c=density,
+                   cmap="viridis_r", vmin=-0.05, vmax=0.40)
+        ax.set_xlim(x_min, x_max)
+        ax.set_ylim(y_min, y_max)
+        ax.set_xlabel("tIC1", fontsize=14)
+        ax.set_ylabel("tIC2", fontsize=14)
+        ax.set_title(name, fontsize=14)
     fig.tight_layout()
-    fig.savefig(save_to, dpi=120)
+    fig.savefig(save_to, dpi=150)
     plt.close(fig)
 
 

@@ -22,6 +22,7 @@ from ..factory import build_diffuser, build_network
 from ..training.losses import loss_config_from
 from ..training.trainer import TrainConfig, Trainer
 from ..utils.logging import get_logger
+from ..utils.metrics_logger import build_loggers
 
 log = get_logger(__name__)
 
@@ -42,18 +43,22 @@ def main(argv=None):
             truncate_length=t_cfg.truncate_length),
         metadata_filter=MetadataFilter(
             **(cfg.data.dataset.get("metadata_filter") or {})),
-        seed=cfg.data.get("generator_seed", 42))
+        seed=cfg.data.get("generator_seed", 42),
+        path_to_seq_embedding=cfg.data.dataset.get("path_to_seq_embedding"))
     train_idx, val_idx = split_dataset(
         len(ds), tuple(cfg.data.get("train_val_split", (0.95, 0.05))),
         seed=cfg.data.get("generator_seed", 42))
     log.info(f"dataset: {len(ds)} examples -> {len(train_idx)} train / {len(val_idx)} val")
 
     buckets = tuple(cfg.data.get("buckets", (64, 128, 256, 384, 512)))
+    workers = int(cfg.data.get("num_workers", 0))
     train_loader = BucketedLoader(ds, train_idx, cfg.data.batch_size,
                                   buckets=buckets, shuffle=cfg.data.get("shuffle", True),
-                                  seed=cfg.data.get("generator_seed", 42))
+                                  seed=cfg.data.get("generator_seed", 42),
+                                  num_workers=workers)
     val_loader = (BucketedLoader(ds, val_idx, cfg.data.batch_size,
-                                 buckets=buckets, shuffle=False)
+                                 buckets=buckets, shuffle=False,
+                                 num_workers=workers)
                   if len(val_idx) else None)
 
     net = build_network(cfg)
@@ -74,10 +79,14 @@ def main(argv=None):
             val_every_n_epochs=tr.get("val_every_n_epochs", 1),
             ckpt_every_n_epochs=tr.get("ckpt_every_n_epochs", 1),
             keep_ckpts=tr.get("keep_ckpts", 3),
+            gradient_accumulation=tr.get("gradient_accumulation", 1),
+            early_stopping_patience=tr.get("early_stopping_patience", -1),
+            save_best=tr.get("save_best", True),
             detect_anomaly=tr.get("detect_anomaly", False),
             profile_dir=(str(cfg.paths.log_dir) + "/profile") if tr.get("profile") else ""),
         log_dir=str(cfg.paths.log_dir),
-        ckpt_dir=str(Path(str(cfg.paths.output_dir)) / "ckpt"))
+        ckpt_dir=str(Path(str(cfg.paths.output_dir)) / "ckpt"),
+        loggers=build_loggers(cfg))
 
     # Initialize params from the first batch's shapes.
     import jax
@@ -105,8 +114,21 @@ def main(argv=None):
 
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     log.info(f"model: {n / 1e6:.2f}M params; mesh: {trainer.mesh.shape}")
+    # Hyperparameter + parameter-count logging (reference
+    # logging_utils.log_hyperparameters, logging_utils.py:12-57).
+    trainer.loggers.log_hyperparams({
+        "model/params_total": n,
+        "task_name": cfg.get("task_name", "train"),
+        "seed": cfg.get("seed", 0),
+        "data/batch_size": cfg.data.batch_size,
+        "data/buckets": list(buckets),
+        "optimizer/lr": float(cfg.model.optimizer.lr),
+        "trainer/max_epochs": tr.max_epochs,
+        "net/dtype": cfg.model.net.get("dtype", "float32"),
+    })
 
-    result = trainer.fit(params, train_loader, val_loader)
+    result = trainer.fit(params, train_loader, val_loader,
+                         resume_from=cfg.get("resume_from") or None)
     log.info(f"training done at step {result['step']}; best val {result['best_val']:.4f}")
     return result
 

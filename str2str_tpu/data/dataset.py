@@ -55,9 +55,15 @@ class ProteinDataset:
                  transform: FeaturizeConfig = FeaturizeConfig(),
                  metadata_filter: Optional[MetadataFilter] = None,
                  accession_codes: Optional[Sequence[str]] = None,
-                 seed: int = 42):
+                 seed: int = 42,
+                 path_to_seq_embedding: Optional[str] = None):
+        """`path_to_seq_embedding`: directory of per-target language-model
+        embedding sidecars, `<accession_code>.pt` (torch, ESM-650M layer-33
+        `representations`) or `<accession_code>.npy` — loaded into the
+        `seq_emb` feature (reference dataset.py:276-284)."""
         self.transform = transform
         self.seed = seed
+        self.path_to_seq_embedding = path_to_seq_embedding
         p = Path(path)
         if p.is_file() and p.suffix == ".csv":
             import pandas as pd
@@ -104,10 +110,26 @@ class ProteinDataset:
             )
         return from_pdb_string(f.read_text())
 
+    def _load_seq_embedding(self, code: str) -> Optional[np.ndarray]:
+        root = Path(self.path_to_seq_embedding)
+        npy = root / f"{code}.npy"
+        if npy.exists():
+            return np.load(npy).astype(np.float32)
+        pt = root / f"{code}.pt"
+        if pt.exists():
+            import torch
+            d = torch.load(pt, map_location="cpu", weights_only=False)
+            rep = d["representations"][33] if isinstance(d, dict) else d
+            return np.asarray(rep, dtype=np.float32)
+        raise FileNotFoundError(
+            f"no sequence-embedding sidecar for {code!r} under {root}")
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         prot = self._load(idx)
         rng = np.random.RandomState((self.seed, idx))
         feats = featurize(prot, self.transform, rng)
+        if self.path_to_seq_embedding is not None:
+            feats["seq_emb"] = self._load_seq_embedding(self.accession_code(idx))
         feats["accession_code"] = self.accession_code(idx)
         return feats
 
@@ -127,11 +149,19 @@ class BucketedLoader:
     bucket; yields a batch when it reaches `batch_size`. Every yielded batch
     is a dict of stacked arrays with static shape (batch_size, bucket, ...)
     — partially filled batches are padded with repeated examples and an
-    `example_mask` marks the real rows."""
+    `example_mask` marks the real rows.
+
+    With `num_workers > 0`, featurization runs ahead on a thread pool
+    (pickle/PDB I/O and the numpy transform chain release the GIL), keeping
+    the accelerator off the data critical path — the reference's DataLoader
+    workers (protein_datamodule.py:181-195, num_workers=4). Examples are
+    consumed in submission order, so batches are identical to the inline
+    path for the same seed."""
 
     def __init__(self, dataset: ProteinDataset, indices: Sequence[int],
                  batch_size: int, buckets: Sequence[int] = (64, 128, 256, 384, 512),
-                 shuffle: bool = True, seed: int = 0, drop_last: bool = False):
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = False,
+                 num_workers: int = 0, prefetch: int = 4):
         self.ds = dataset
         self.indices = np.asarray(list(indices), dtype=int)
         self.batch_size = batch_size
@@ -139,15 +169,43 @@ class BucketedLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
 
-    def __iter__(self):
+    def _epoch_order(self):
         order = self.indices.copy()
         if self.shuffle:
             np.random.RandomState(self.seed).shuffle(order)
             self.seed += 1
+        return order
+
+    def _featurized(self, order):
+        """Yield featurized examples for `order`, inline or via a bounded
+        thread-pool window (bounded so a large epoch never materializes)."""
+        if self.num_workers <= 0:
+            for idx in order:
+                yield self.ds[int(idx)]
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = self.num_workers * max(self.prefetch, 1)
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            pending = deque()
+            it = iter(order)
+            for idx in it:
+                pending.append(ex.submit(self.ds.__getitem__, int(idx)))
+                if len(pending) >= window:
+                    break
+            while pending:
+                yield pending.popleft().result()
+                for idx in it:
+                    pending.append(ex.submit(self.ds.__getitem__, int(idx)))
+                    break
+
+    def __iter__(self):
         open_batches: Dict[int, List[dict]] = {}
-        for idx in order:
-            feats = self.ds[int(idx)]
+        for feats in self._featurized(self._epoch_order()):
             bucket = pick_bucket(feats["aatype"].shape[0], self.buckets)
             open_batches.setdefault(bucket, []).append(feats)
             if len(open_batches[bucket]) == self.batch_size:

@@ -43,9 +43,10 @@ def parse_pisces(path: str) -> dict:
     return targets
 
 
-def chain_metadata(prot: Protein, code: str, resolution, method) -> dict:
+def chain_metadata(prot: Protein, code: str, resolution, method,
+                   with_ss: bool = True) -> dict:
     ca_mask = prot.atom_mask[:, ch.CA_IDX]
-    return {
+    row = {
         "accession_code": code,
         "seq_len": int(prot.num_residues),
         "modeled_len": int(ca_mask.sum()),
@@ -53,19 +54,32 @@ def chain_metadata(prot: Protein, code: str, resolution, method) -> dict:
         "method": method,
         "num_chains": int(len(np.unique(prot.chain_index))),
     }
+    if with_ss:
+        # DSSP-style SS percentages + Rg (reference preprocess.py:200-227
+        # via mdtraj; first-party Kabsch-Sander here).
+        from .secondary import radius_of_gyration, secondary_structure_percents
+        row.update(secondary_structure_percents(prot.atom_positions,
+                                                prot.atom_mask))
+        row["radius_gyration"] = radius_of_gyration(prot.atom_positions,
+                                                    prot.atom_mask)
+    return row
 
 
 def process_file(path: str, output_dir: str, pisces: Optional[dict] = None,
                  max_resolution: Optional[float] = 5.0,
-                 min_len: int = 10, max_len: Optional[int] = None) -> List[dict]:
+                 min_len: int = 10, max_len: Optional[int] = None,
+                 max_oligomer: Optional[int] = None,
+                 with_ss: bool = True) -> List[dict]:
     """One mmCIF/PDB file -> per-chain pickles. Returns metadata rows."""
     p = Path(path)
     stem = p.name.split(".")[0].lower()
     rows = []
+    oligomeric_count = None
     try:
         if ".cif" in p.suffixes or p.suffix == ".cif":
             obj = mmcif.parse_mmcif(p)
             resolution, method = obj.header.resolution, obj.header.method
+            oligomeric_count = obj.header.oligomeric_count
             chains = obj.chains
         else:
             prot = from_pdb_string(p.read_text())
@@ -77,6 +91,10 @@ def process_file(path: str, output_dir: str, pisces: Optional[dict] = None,
 
     if (max_resolution is not None and resolution is not None
             and resolution > max_resolution):
+        return rows
+    # Oligomeric filter (reference preprocess.py:316-327).
+    if (max_oligomer is not None and oligomeric_count is not None
+            and oligomeric_count > max_oligomer):
         return rows
     if pisces is not None and stem not in pisces:
         return rows
@@ -103,7 +121,8 @@ def process_file(path: str, output_dir: str, pisces: Optional[dict] = None,
                 "chain_index": prot.chain_index,
                 "b_factors": prot.b_factors,
             }, f)
-        row = chain_metadata(prot, code, resolution, method)
+        row = chain_metadata(prot, code, resolution, method, with_ss=with_ss)
+        row["oligomeric_count"] = oligomeric_count
         row["processed_path"] = str(out_path)
         rows.append(row)
     return rows
@@ -118,6 +137,10 @@ def main(argv=None):
     ap.add_argument("--max-resolution", type=float, default=5.0)
     ap.add_argument("--min-len", type=int, default=10)
     ap.add_argument("--max-len", type=int, default=None)
+    ap.add_argument("--max-oligomer", type=int, default=None,
+                    help="skip assemblies with more subunits than this")
+    ap.add_argument("--no-ss", action="store_true",
+                    help="skip secondary-structure/Rg metadata columns")
     ap.add_argument("--num-workers", type=int, default=mp.cpu_count())
     ap.add_argument("--max-file-size", type=int, default=50_000_000)
     args = ap.parse_args(argv)
@@ -132,7 +155,8 @@ def main(argv=None):
     pisces = parse_pisces(args.pisces) if args.pisces else None
     fn = partial(process_file, output_dir=args.output_dir, pisces=pisces,
                  max_resolution=args.max_resolution, min_len=args.min_len,
-                 max_len=args.max_len)
+                 max_len=args.max_len, max_oligomer=args.max_oligomer,
+                 with_ss=not args.no_ss)
     if args.num_workers > 1:
         with mp.Pool(args.num_workers) as pool:
             results = pool.map(fn, files)

@@ -66,6 +66,11 @@ def parse_mmcif(path: str | Path) -> MmcifObject:
     scalars: Dict[str, str] = {}
     atom_cols: List[str] = []
     atom_rows: List[List[str]] = []
+    # Loops needed for the SEQRES<->ATOM mapping (reference
+    # mmcif_parsing.py:165 builds seqres_to_structure from _entity_poly_seq
+    # and _struct_asym).
+    KEPT = ("_atom_site.", "_entity_poly_seq.", "_struct_asym.")
+    kept_loops: Dict[str, tuple] = {}
 
     i = 0
     n = len(lines)
@@ -84,7 +89,9 @@ def parse_mmcif(path: str | Path) -> MmcifObject:
             while i < n and lines[i].strip().startswith("_"):
                 cols.append(lines[i].strip().split()[0])
                 i += 1
-            is_atom_site = cols and cols[0].startswith("_atom_site.")
+            category = next((k for k in KEPT
+                             if cols and cols[0].startswith(k)), None)
+            loop_rows: List[List[str]] = []
             # Walk the data rows.
             while i < n:
                 row_line = lines[i].strip()
@@ -93,13 +100,15 @@ def parse_mmcif(path: str | Path) -> MmcifObject:
                         or row_line.startswith("_")
                         or row_line.startswith("data_")):
                     break
-                if is_atom_site:
+                if category:
                     toks = _tokens(row_line)
                     if len(toks) == len(cols):
-                        atom_rows.append(toks)
+                        loop_rows.append(toks)
                 i += 1
-            if is_atom_site:
-                atom_cols = cols
+            if category == "_atom_site.":
+                atom_cols, atom_rows = cols, loop_rows
+            elif category:
+                kept_loops[category] = (cols, loop_rows)
             continue
         if line.startswith("_"):
             toks = _tokens(line)
@@ -131,11 +140,54 @@ def parse_mmcif(path: str | Path) -> MmcifObject:
     except ValueError:
         header.oligomeric_count = None
 
-    chains = _atom_site_to_chains(atom_cols, atom_rows)
+    entity_seq = _parse_entity_poly_seq(kept_loops.get("_entity_poly_seq."))
+    asym_to_entity = _parse_struct_asym(kept_loops.get("_struct_asym."))
+    chains = _atom_site_to_chains(atom_cols, atom_rows,
+                                  entity_seq=entity_seq,
+                                  asym_to_entity=asym_to_entity)
     return MmcifObject(header=header, chains=chains)
 
 
-def _atom_site_to_chains(cols: List[str], rows: List[List[str]]) -> Dict[str, Protein]:
+def _parse_entity_poly_seq(loop) -> Dict[str, Dict[int, str]]:
+    """entity_id -> {seq num -> 3-letter mon_id} (the mmCIF SEQRES)."""
+    if not loop:
+        return {}
+    cols, rows = loop
+    idx = {c.split(".", 1)[1]: j for j, c in enumerate(cols)}
+    out: Dict[str, Dict[int, str]] = {}
+    for row in rows:
+        try:
+            num = int(row[idx["num"]])
+        except (KeyError, ValueError):
+            continue
+        ent = row[idx["entity_id"]]
+        # Heterogeneous positions (microheterogeneity) keep the first mon_id,
+        # matching the reference parser's behavior.
+        out.setdefault(ent, {}).setdefault(num, row[idx["mon_id"]])
+    return out
+
+
+def _parse_struct_asym(loop) -> Dict[str, str]:
+    """label_asym_id -> entity_id."""
+    if not loop:
+        return {}
+    cols, rows = loop
+    idx = {c.split(".", 1)[1]: j for j, c in enumerate(cols)}
+    try:
+        return {row[idx["id"]]: row[idx["entity_id"]] for row in rows}
+    except KeyError:
+        return {}
+
+
+def _atom_site_to_chains(cols: List[str], rows: List[List[str]],
+                         entity_seq: Optional[Dict[str, Dict[int, str]]] = None,
+                         asym_to_entity: Optional[Dict[str, str]] = None
+                         ) -> Dict[str, Protein]:
+    """Build per-chain Proteins. When the file carries `_entity_poly_seq`
+    (SEQRES), each chain spans the FULL polymer sequence with unresolved
+    residues zero-masked — the reference's seqres_to_structure semantics
+    (mmcif_parsing.py:165,229-258); otherwise only resolved residues appear.
+    """
     if not rows:
         return {}
     idx = {c.split(".", 1)[1]: j for j, c in enumerate(cols)}
@@ -145,6 +197,7 @@ def _atom_site_to_chains(cols: List[str], rows: List[List[str]]) -> Dict[str, Pr
         return row[j] if j is not None else default
 
     per_chain: Dict[str, dict] = {}
+    chain_entity: Dict[str, str] = {}
     first_model = None
     for row in rows:
         if get(row, "group_PDB") not in ("ATOM", "HETATM"):
@@ -168,6 +221,9 @@ def _atom_site_to_chains(cols: List[str], rows: List[List[str]]) -> Dict[str, Pr
         if alt not in (".", "A", "1", ""):
             continue
         chain_id = get(row, "auth_asym_id") or get(row, "label_asym_id")
+        label_asym = get(row, "label_asym_id")
+        if chain_id not in chain_entity and asym_to_entity:
+            chain_entity[chain_id] = asym_to_entity.get(label_asym, "")
         seq_id = get(row, "label_seq_id")
         if seq_id in (".", "?", ""):
             seq_id = get(row, "auth_seq_id")
@@ -187,6 +243,21 @@ def _atom_site_to_chains(cols: List[str], rows: List[List[str]]) -> Dict[str, Pr
 
     chains: Dict[str, Protein] = {}
     for ci, (chain_id, residues) in enumerate(per_chain.items()):
+        # SEQRES mapping: span the full polymer sequence; residues without
+        # coordinates stay zero-masked (skip if the resolved residues
+        # disagree with the sequence — auth-numbered fallback files).
+        seq = (entity_seq or {}).get(chain_entity.get(chain_id, ""), {})
+        if seq and all(
+                seq.get(k, "") == v["resname"]
+                or (seq.get(k) == "MSE" and v["resname"] == "MET")
+                for k, v in residues.items()):
+            full = {}
+            for num in sorted(seq):
+                resname = "MET" if seq[num] == "MSE" else seq[num]
+                if resname not in ch.restype_3to1:
+                    resname = "UNK"
+                full[num] = residues.get(num, {"resname": resname, "atoms": {}})
+            residues = full
         keys = sorted(residues)
         m = len(keys)
         pos = np.zeros((m, ch.atom_type_num, 3), np.float32)

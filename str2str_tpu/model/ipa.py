@@ -116,13 +116,16 @@ class InvariantPointAttention(nn.Module):
                       or (self.use_pallas == "auto" and _ia.is_supported()))
 
         if use_pallas:
-            o, opt_flat, o_pair = _ia.ipa_attention_pallas(
+            # custom_vjp wrapper: fused Pallas forward, differentiable (the
+            # backward runs the VJP of the XLA oracle), so this path is live
+            # for training too.
+            o, opt_flat, o_pair = _ia.ipa_attention(
                 q.reshape(B, L, H * C),
                 k.reshape(B, L, H * C), v.reshape(B, L, H * C),
                 q_pts.reshape(B, L, H * Pq * 3),
                 k_pts.reshape(B, L, H * Pq * 3),
                 v_pts.reshape(B, L, H * Pv * 3),
-                z, kb, bb, kdz, bdz, head_weights, mask, inf=self.inf)
+                z, kb, bb, kdz, bdz, head_weights, mask)
             o_pt = opt_flat.reshape(B, L, H * Pv, 3)
         else:
             a = jnp.einsum("blhc,bmhc->bhlm", q, k, precision=_HP)

@@ -139,7 +139,9 @@ class EdgeTransition(nn.Module):
         ni1, nj1 = node_parts(k1)
         nfi, nfj = node_parts(kf)
 
-        fn = _em.edge_mlp_pallas if use_pallas else _em.edge_mlp_reference
+        # edge_mlp is a custom_vjp (fused Pallas forward, XLA-oracle
+        # backward), so this path is live for training too.
+        fn = _em.edge_mlp if use_pallas else _em.edge_mlp_reference
         return fn(z, ni1, nj1, nfi, nfj,
                   k1[:c_edge], k2, kf, kf[:c_edge], b1, b2, bf,
                   ln_scale, ln_bias)

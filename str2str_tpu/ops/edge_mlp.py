@@ -122,6 +122,31 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     )(z, ni1, nj1, nfi, nfj, *weights, *vecs)
 
 
+# ---- differentiable entry point --------------------------------------------
+# Forward = fused Pallas kernel; backward = VJP of the (mathematically
+# identical) XLA reference evaluated at the saved inputs (rematerializes the
+# [B,L,L,H] hiddens, i.e. the usual checkpointing trade). This keeps training
+# on the fused forward path without a hand-written backward kernel.
+
+@jax.custom_vjp
+def edge_mlp(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+             b1, b2, bf, ln_scale, ln_bias):
+    return edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                           b1, b2, bf, ln_scale, ln_bias)
+
+
+def _edge_mlp_fwd(*args):
+    return edge_mlp_pallas(*args), args
+
+
+def _edge_mlp_bwd(args, ct):
+    _, vjp = jax.vjp(lambda *a: edge_mlp_reference(*a), *args)
+    return vjp(ct)
+
+
+edge_mlp.defvjp(_edge_mlp_fwd, _edge_mlp_bwd)
+
+
 def edge_mlp_reference(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                        b1, b2, bf, ln_scale, ln_bias,
                        eps: float = 1e-6) -> jnp.ndarray:

@@ -1,18 +1,47 @@
 """Fused Invariant-Point-Attention as a Pallas TPU kernel.
 
-One program handles a query block for all heads: it computes the pair bias
-and down-projected pair values from the edge tensor tile *inside* the kernel
-(z is read exactly once from HBM), forms the three logit contributions
-(scalar qk, pair bias, squared point distances via the distance expansion),
-does an fp32 softmax over full rows, and accumulates the three output streams
-(scalar values, global-frame point values, pair values) in VMEM.
+Replaces, per IPA block, the XLA path's HBM round-trips for: the fp32
+[B,H,L,L] logits tensor (written and re-read ~3x by the XLA path: qk, +bias,
++point-distance, softmax), the attention-weight tensor feeding three
+separate aggregation einsums, and the associated fp32 upcasts. Inside the
+kernel, logits/softmax/all three output streams live entirely in VMEM.
 
-Replaces, per IPA block, the XLA path's HBM round-trips for: the [B,H,L,L]
-attention tensor (write + 4 reads), a second read of z (linear_b and down_z),
-and the bias/pair-value intermediates.
+Division of labor (what made this fast where two earlier versions were not):
 
-Frame application/inversion of the points and all the projections stay
-outside (they are O(L) and fuse well in XLA). Inference-only: no VJP yet.
+  * The z projections (pair bias `linear_b` and down-projected pair values
+    `down_z`) are computed OUTSIDE the kernel by XLA, which fuses both into
+    a single pass over z and can emit them in arbitrary layouts for free.
+    Emitting them inside the kernel produces them with the head/channel
+    dim in lanes, and any lane->sublane relayout (per-head lane selects or
+    a transpose) costs more than the saved HBM traffic. The kernel consumes
+      biasT (B, H, L, L)    — per-head slice = free major-dim index
+      pzT   (B, L, Cdz, L)  — batch-friendly layout for the opair matmul
+  * All per-head operands are head-major 4D blocks, so every per-head access
+    is a major-axis index — no lane slicing, no in-kernel transposes.
+  * The squared point-distance logits use the expansion
+    |q-k|^2 = |q|^2 + |k|^2 - 2<q,k>; the cross term is FOLDED INTO the
+    scalar-QK matmul by concatenating [scale_qk * q, sqrt(w_h*c_pt) * q_pts]
+    per head, and the rank-1 corrections + mask ride two extra
+    ones-columns/rows of the same matmul: ONE (Qb, D+2) x (D+2, L) dot per
+    head yields the complete logits.
+  * The k-side (k|k_pts, v, v_pts for the FULL length L) stays resident in
+    VMEM across query blocks, so the softmax runs over complete rows — no
+    online/flash rescaling pass is needed for L <= 512 (the reference trains
+    at max_len 500; longer sequences fall back to the XLA path).
+  * o_pair (the per-query attention-weighted pair values) is ONE batched
+    MXU contraction over keys: (Qb, H, L) x (Qb, Cdz, L) -> (Qb, H, Cdz),
+    batched over query rows.
+
+Numerics: logits and softmax in fp32; matmuls accumulate fp32 (MXU native)
+regardless of input dtype; attention weights are cast to the value dtype for
+the aggregation matmuls (same as the XLA oracle below).
+
+Reference semantics being reproduced: the [B,H,L,L] materialization of
+/root/reference/src/models/net/ipa.py:183-258.
+
+Training support: `ipa_attention` is a custom_vjp whose forward runs this
+kernel and whose backward differentiates the (mathematically identical) XLA
+oracle — the fused forward is usable under jax.grad.
 """
 from __future__ import annotations
 
@@ -38,75 +67,84 @@ def is_supported() -> bool:
         return False
 
 
-def _kernel(q_ref, k_ref, v_ref, qf_ref, kf_ref, vf_ref, z_ref,
-            kb_ref, bb_ref, kdz_ref, bdz_ref, hw_ref, mask_ref,
-            o_ref, opt_ref, opair_ref,
-            *, H: int, C: int, Pq: int, Pv: int, inf: float):
-    """Shapes per program (Qb query rows, L keys):
-    q: (1, Qb, H*C)   k/v: (1, L, H*C)
-    qf: (1, Qb, H*3Pq) kf: (1, L, H*3Pq) vf: (1, L, H*3Pv)
-    z: (1, Qb, L, Cz)
-    kb: (Cz, H) bb: (1, H)  kdz: (Cz, Cdz) bdz: (1, Cdz)
-    hw: (1, H) softplus'd head weights; mask: (1, 1, L)
-    outputs: o (1, Qb, H*C), opt (1, Qb, H*3Pv), opair (1, Qb, H*Cdz)
+def _kernel(qhat_ref, khat_ref, v_ref, vf_ref, bias_ref, pzt_ref,
+            o_ref, opt_ref, opair_ref, *, H: int):
+    """Shapes per program (Qb query rows, full-L keys):
+    qhat: (1, H, Qb, D+2)  [D = C + 3*Pq: pre-scaled q | point-q | rank-1
+                            |q|^2 correction | ones]
+    khat: (1, H, D+2, L)   [pre-transposed: k | point-k | ones | per-key
+                            correction + mask bias — so ONE (Qb,D+2)@(D+2,L)
+                            dot per head yields the complete pre-bias logits]
+    v:    (1, H, L, C)
+    vf:   (1, H, 3*Pv, L)  [pre-transposed point values]
+    bias: (1, H, Qb, L)    [pair bias, pre-scaled by sqrt(1/3)]
+    pzt:  (1, Qb, Cdz, L)  [down-projected pair values, key dim in lanes]
+    outputs (head-major): o (1, H, Qb, C), opt (1, H, Qb, 3*Pv),
+                          opair (1, Qb, H, Cdz)
     """
-    Qb = q_ref.shape[1]
-    L = k_ref.shape[1]
-    Cz = z_ref.shape[-1]
-    Cdz = kdz_ref.shape[1]
-    dt = q_ref.dtype
+    dt = v_ref.dtype
 
-    z2 = z_ref[0].reshape(Qb * L, Cz)
-    # Pair bias for every head: (Qb*L, H), f32.
-    bias = jnp.dot(z2, kb_ref[:], preferred_element_type=jnp.float32)
-    bias = (bias + bb_ref[0]).reshape(Qb, L, H)
-    # Down-projected pair values: (Qb, L, Cdz).
-    pz = jnp.dot(z2, kdz_ref[:], preferred_element_type=jnp.float32)
-    pz = (pz + bdz_ref[0]).reshape(Qb, L, Cdz).astype(dt)
-
-    mask_bias = inf * (mask_ref[0, 0] - 1.0)  # (L,) 0 real, -inf-ish pad
-
-    scale_qk = math.sqrt(1.0 / (3 * C))
-    scale_b = math.sqrt(1.0 / 3)
-    pt_norm = math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
-
+    ps = []
     for h in range(H):
-        q_h = q_ref[0, :, h * C:(h + 1) * C]
-        k_h = k_ref[0, :, h * C:(h + 1) * C]
-        v_h = v_ref[0, :, h * C:(h + 1) * C]
-        qf_h = qf_ref[0, :, h * 3 * Pq:(h + 1) * 3 * Pq].astype(jnp.float32)
-        kf_h = kf_ref[0, :, h * 3 * Pq:(h + 1) * 3 * Pq].astype(jnp.float32)
-        vf_h = vf_ref[0, :, h * 3 * Pv:(h + 1) * 3 * Pv]
-
-        logits = scale_qk * jnp.dot(q_h, k_h.T, preferred_element_type=jnp.float32)
-        logits = logits + scale_b * bias[:, :, h]
-
-        cross = jnp.dot(qf_h, kf_h.T, preferred_element_type=jnp.float32)
-        q_sq = jnp.sum(qf_h * qf_h, axis=-1)
-        k_sq = jnp.sum(kf_h * kf_h, axis=-1)
-        dist2 = q_sq[:, None] + k_sq[None, :] - 2.0 * cross
-        logits = logits - 0.5 * hw_ref[0, h] * pt_norm * dist2
-        logits = logits + mask_bias[None, :]
+        logits = jnp.dot(qhat_ref[0, h], khat_ref[0, h],
+                         preferred_element_type=jnp.float32)  # (Qb, L)
+        logits = logits + bias_ref[0, h].astype(jnp.float32)
 
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p_f32 = e / jnp.sum(e, axis=-1, keepdims=True)
-        p = p_f32.astype(dt)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        ps.append(p)
 
-        o_ref[0, :, h * C:(h + 1) * C] = jnp.dot(
-            p, v_h, preferred_element_type=jnp.float32).astype(dt)
-        opt_ref[0, :, h * 3 * Pv:(h + 1) * 3 * Pv] = jnp.dot(
-            p, vf_h, preferred_element_type=jnp.float32).astype(dt)
-        # o_pair[i, c] = sum_j p[i, j] * pz[i, j, c]  (per-row contraction).
-        # Expand the minor dim on the f32 tensor: Mosaic only supports
-        # non-no-op minor-dim insertion for 32-bit types.
-        opair = jnp.sum(p_f32[:, :, None] * pz.astype(jnp.float32), axis=1)
-        opair_ref[0, :, h * Cdz:(h + 1) * Cdz] = opair.astype(dt)
+        o_ref[0, h] = jnp.dot(p, v_ref[0, h],
+                              preferred_element_type=jnp.float32).astype(dt)
+        # o_pt: contract over keys against the pre-transposed (3Pv, L) block.
+        opt_ref[0, h] = jax.lax.dot_general(
+            p, vf_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+
+    # o_pair[i, h, c] = sum_j p[h, i, j] * pz[i, c, j]: one batched MXU
+    # contraction over keys, batched over query rows.
+    p_all = jnp.stack(ps, axis=1)  # (Qb, H, L)
+    opair_ref[0] = jax.lax.dot_general(
+        p_all, pzt_ref[0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dt)
+
+
+def _pick_query_block(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
+                      Cdz: int, itemsize: int):
+    """Largest query block whose VMEM working set fits.
+
+    Fixed cost: the double-buffered full-L k-side blocks. Per-query-block
+    cost: bias/pz tiles, qhat, outputs, and fp32 logit temporaries.
+    """
+    D2 = C + 3 * Pq + 2
+    lanes = 128
+
+    def pad(n):  # lane padding of a trailing dim
+        return -(-n // lanes) * lanes
+
+    fixed = 2 * (H * D2 * L           # khat (lanes = L, no pad for L >= 128)
+                 + H * L * C          # v
+                 + H * (3 * Pv + 8) * L  # vf, sublane-padded
+                 ) * itemsize
+    budget = 12 * 1024 * 1024
+    for qb in (128, 64, 32, 16, 8):
+        if qb > Qtot or Qtot % qb:
+            continue
+        per_q = (2 * qb * H * L * itemsize           # bias tile
+                 + 2 * qb * Cdz * L * itemsize       # pzT tile
+                 + 2 * qb * pad(D2) * H * itemsize   # qhat
+                 + qb * H * L * itemsize             # stacked attn weights
+                 + 2 * qb * (C + pad(3 * Pv) + pad(Cdz)) * H * itemsize  # outs
+                 + 6 * qb * L * 4)                   # logits/exp f32 temps
+        if fixed + per_q <= budget:
+            return qb
+    return None
 
 
 def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
                          head_weights, mask, *, inf: float = 1e5,
-                         query_block: int = 64):
+                         query_block: int | None = None):
     """
     q: (B, Qtot, H*C); k/v: (B, L, H*C); q_pts: (B, Qtot, H*3Pq) global
     coords; k_pts: (B, L, H*3Pq); v_pts: (B, L, H*3Pv); z: (B, Qtot, L, Cz);
@@ -116,82 +154,98 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
     """
     B, L, HC = k.shape
     Qtot = q.shape[1]
-    Cz = z.shape[-1]
     H = head_weights.shape[0]
     C = HC // H
     Pq = q_pts.shape[-1] // (3 * H)
     Pv = v_pts.shape[-1] // (3 * H)
     Cdz = kdz.shape[1]
+    dt = q.dtype
 
-    # VMEM budget: shrink the query block until the working set fits; the
-    # kernel holds full-L key/value blocks, so very large L falls back to XLA
-    # (key-block streaming is future work). Mosaic materializes fp32 copies
-    # of bf16 operands feeding fp32-accumulating dots, so intermediates are
-    # costed at 4 bytes regardless of input dtype.
-    s = jnp.dtype(q.dtype).itemsize
-    fixed = 2 * (2 * L * H * C * s            # k, v (double-buffered)
-                 + L * H * 3 * (Pq + Pv) * s)  # kf, vf
-    budget = 13 * 1024 * 1024
-
-    qb = None
-    for cand in (min(query_block, 16), 8):
-        if cand > Qtot or Qtot % cand:
-            continue
-        per_q = (2 * cand * L * Cz * s        # z tile (double-buffered)
-                 + cand * L * Cz * 4          # fp32 upcast copy of the tile
-                 + cand * L * (H + Cdz) * 4   # bias + pz intermediates
-                 + cand * L * 4)              # logits
-        if fixed + per_q <= budget:
-            qb = cand
-            break
-    if qb is None:
+    qb = query_block or _pick_query_block(
+        Qtot, L, H, C, Pq, Pv, Cdz, jnp.dtype(dt).itemsize)
+    if qb is None or (query_block and Qtot % query_block):
         return ipa_attention_reference(
             q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
             head_weights, mask, inf=inf)
 
-    kern = functools.partial(_kernel, H=H, C=C, Pq=Pq, Pv=Pv, inf=inf)
+    # ---- host-side (XLA) prep: head-major layouts + folded scalings -------
+    scale_qk = math.sqrt(1.0 / (3 * C))
+    pt_norm = math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
+    w = head_weights.astype(jnp.float32) * pt_norm       # (H,)
+    s_h = jnp.sqrt(w)                                     # fold into q/k pts
+
+    def heads(t, p):  # (B, N, H*p) -> (B, H, N, p)
+        return t.reshape(B, t.shape[1], H, p).transpose(0, 2, 1, 3)
+
+    qh = heads(q, C)
+    qf = heads(q_pts, 3 * Pq).astype(jnp.float32)
+    kf = heads(k_pts, 3 * Pq).astype(jnp.float32)
+
+    # Rank-1 distance corrections and mask, folded into the contraction as
+    # two extra columns/rows: [.. | qcorr | 1] @ [.. ; 1 ; kadd].
+    qcorr = -0.5 * w[None, :, None] * jnp.sum(qf * qf, axis=-1)  # (B, H, Qtot)
+    kcorr = -0.5 * w[None, :, None] * jnp.sum(kf * kf, axis=-1)  # (B, H, L)
+    kadd = kcorr + (inf * (mask.astype(jnp.float32) - 1.0))[:, None, :]
+
+    ones_q = jnp.ones((B, H, Qtot, 1), jnp.float32)
+    qhat = jnp.concatenate(
+        [qh.astype(jnp.float32) * scale_qk, qf * s_h[:, None, None],
+         qcorr[..., None], ones_q],
+        axis=-1).astype(dt)                               # (B, H, Qtot, D+2)
+    ones_k = jnp.ones((B, H, 1, L), jnp.float32)
+    khat = jnp.concatenate(
+        [jnp.concatenate(
+            [heads(k, C).astype(jnp.float32), kf * s_h[:, None, None]],
+            axis=-1).transpose(0, 1, 3, 2),
+         ones_k, kadd[:, :, None, :]],
+        axis=2).astype(dt)                                # (B, H, D+2, L)
+    v4 = heads(v, C)                                      # (B, H, L, C)
+    vf4 = heads(v_pts, 3 * Pv).transpose(0, 1, 3, 2)      # (B, H, 3Pv, L)
+
+    # Edge projections: ONE fused XLA pass over z, emitted directly in the
+    # layouts the kernel consumes (free for XLA, prohibitive in-kernel).
+    biasT = (jnp.einsum("bqlc,ch->bhql", z, kb.astype(dt)).astype(jnp.float32)
+             + bb[None, :, None, None]) * math.sqrt(1.0 / 3)
+    biasT = biasT.astype(dt)                              # (B, H, Qtot, L)
+    pzT = (jnp.einsum("bqlc,cd->bqdl", z, kdz.astype(dt)).astype(jnp.float32)
+           + bdz[None, None, :, None]).astype(dt)         # (B, Qtot, Cdz, L)
+
+    D2 = C + 3 * Pq + 2
+    kern = functools.partial(_kernel, H=H)
     grid = (B, Qtot // qb)
-    dt = q.dtype
 
     o, opt, opair = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, qb, H * C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, H * C), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L, H * C), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, qb, H * 3 * Pq), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, H * 3 * Pq), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L, H * 3 * Pv), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, qb, L, Cz), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((Cz, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((Cz, Cdz), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, Cdz), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, H, qb, D2), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, D2, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, 3 * Pv, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, qb, L), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, qb, Cdz, L), lambda b, i: (b, i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, qb, H * C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, qb, H * 3 * Pv), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, qb, H * Cdz), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, H, qb, C), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, qb, 3 * Pv), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, qb, H, Cdz), lambda b, i: (b, i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Qtot, H * C), dt),
-            jax.ShapeDtypeStruct((B, Qtot, H * 3 * Pv), dt),
-            jax.ShapeDtypeStruct((B, Qtot, H * Cdz), dt),
+            jax.ShapeDtypeStruct((B, H, Qtot, C), dt),
+            jax.ShapeDtypeStruct((B, H, Qtot, 3 * Pv), dt),
+            jax.ShapeDtypeStruct((B, Qtot, H, Cdz), dt),
         ],
-    )(q, k, v, q_pts, k_pts, v_pts, z,
-      kb.astype(dt), bb.reshape(1, -1).astype(jnp.float32),
-      kdz.astype(dt), bdz.reshape(1, -1).astype(jnp.float32),
-      head_weights.reshape(1, -1).astype(jnp.float32),
-      mask.astype(jnp.float32).reshape(B, 1, L))
-    return o, opt, opair
+    )(qhat, khat, v4, vf4, biasT, pzT)
+
+    def unheads(t):  # (B, H, Qtot, p) -> (B, Qtot, H*p)
+        return t.transpose(0, 2, 1, 3).reshape(B, Qtot, -1)
+
+    return unheads(o), unheads(opt), opair.reshape(B, Qtot, H * Cdz)
 
 
 def ipa_attention_reference(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
                             head_weights, mask, *, inf: float = 1e5,
-                            query_block: int = 64):
+                            query_block: int | None = None):
     """Plain-XLA oracle with identical inputs/outputs."""
     B, L, HC = k.shape
     H = head_weights.shape[0]
@@ -234,3 +288,28 @@ def ipa_attention_reference(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
                        precision=jax.lax.Precision.HIGHEST).reshape(
         B, -1, H * pz.shape[-1])
     return o, opt, opair
+
+
+# ---- differentiable entry point --------------------------------------------
+# Forward = fused Pallas kernel; backward = VJP of the (mathematically
+# identical) XLA oracle evaluated at the saved inputs. This keeps training
+# on the fused forward path without a hand-written backward kernel; the
+# backward itself still runs the XLA layout (optimizing it is future work).
+
+@jax.custom_vjp
+def ipa_attention(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+                  head_weights, mask):
+    return ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z,
+                                kb, bb, kdz, bdz, head_weights, mask)
+
+
+def _ipa_fwd(*args):
+    return ipa_attention_pallas(*args), args
+
+
+def _ipa_bwd(args, cts):
+    _, vjp = jax.vjp(lambda *a: ipa_attention_reference(*a), *args)
+    return vjp(cts)
+
+
+ipa_attention.defvjp(_ipa_fwd, _ipa_bwd)

@@ -1,12 +1,22 @@
-"""Device mesh and sharding helpers (data parallelism over ICI).
+"""Device mesh and sharding helpers (data parallelism over ICI, multi-host
+over DCN).
 
 The reference scales with Lightning DDP + NCCL (configs/trainer/ddp.yaml);
 here data parallelism is a 1-D `jax.sharding.Mesh` over the `data` axis:
 batches are sharded on axis 0, parameters replicated, and XLA inserts the
-gradient all-reduce (psum over ICI) automatically under jit.
+gradient all-reduce (psum over ICI within a slice, DCN across slices)
+automatically under jit.
+
+Multi-host: call `init_distributed()` once per process before any jax
+backend touch (pod slices / multi-process CPU testing). It wires
+`jax.distributed.initialize`, after which `jax.devices()` spans the whole
+job and `make_mesh` builds the global mesh; per-host batch loading feeds
+`shard_batch`, which uses `device_put` with a NamedSharding (each host
+provides its addressable shard).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -15,8 +25,46 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed for a multi-host job (reference analogue:
+    Lightning spawning one DDP process per device, trainer/ddp.yaml:1-9).
+
+    Arguments default from the standard env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID); on TPU pods jax can autodetect all
+    three. Returns True when running distributed, False for single-process
+    (no coordinator configured). Safe to call more than once.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    num_processes = num_processes if num_processes is not None else int(
+        os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
+    process_id = process_id if process_id is not None else int(
+        os.environ.get("JAX_PROCESS_ID", "-1") or -1)
+    if not coordinator_address and num_processes <= 1:
+        return False  # single-process run
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes > 0:
+        kwargs["num_processes"] = num_processes
+    if process_id >= 0:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED_INITIALIZED = True
+    return True
+
 
 def make_mesh(num_devices: int = -1, devices=None) -> Mesh:
+    """1-D data mesh over the job's devices (global across hosts when
+    `init_distributed` ran)."""
     devices = devices if devices is not None else jax.devices()
     if num_devices and num_devices > 0:
         devices = devices[:num_devices]

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -209,3 +210,258 @@ def violation_metrics(pred_atom14: jnp.ndarray, atom14_mask: jnp.ndarray,
         "c_n_loss": jnp.mean(bonds["c_n_loss_mean"]),
         "clash_loss": jnp.mean(clashes["mean_loss"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Confidence heads & structure metrics (dormant in the reference's default
+# config but part of its loss-library surface, loss.py:370-713, 1020-1544).
+
+
+def compute_plddt(logits: jnp.ndarray) -> jnp.ndarray:
+    """Expected per-residue lDDT from binned logits, in [0, 100]
+    (reference compute_plddt, loss.py:370-382)."""
+    num_bins = logits.shape[-1]
+    width = 1.0 / num_bins
+    centers = jnp.arange(0.5 * width, 1.0, width)
+    probs = jnp.exp(logits - jnp.max(logits, -1, keepdims=True))
+    probs = probs / jnp.sum(probs, -1, keepdims=True)
+    return jnp.sum(probs * centers, axis=-1) * 100.0
+
+
+def lddt(pred_pos: jnp.ndarray, gt_pos: jnp.ndarray, mask: jnp.ndarray,
+         cutoff: float = 15.0, eps: float = 1e-10,
+         per_residue: bool = True) -> jnp.ndarray:
+    """Local distance difference test over a point set (reference lddt,
+    loss.py:385-437). pred/gt (..., N, 3), mask (..., N, 1)."""
+    n = mask.shape[-2]
+    d_true = jnp.sqrt(eps + jnp.sum(
+        (gt_pos[..., :, None, :] - gt_pos[..., None, :, :]) ** 2, -1))
+    d_pred = jnp.sqrt(eps + jnp.sum(
+        (pred_pos[..., :, None, :] - pred_pos[..., None, :, :]) ** 2, -1))
+    scored = ((d_true < cutoff).astype(jnp.float32)
+              * mask * jnp.swapaxes(mask, -1, -2)
+              * (1.0 - jnp.eye(n)))
+    l1 = jnp.abs(d_true - d_pred)
+    score = 0.25 * ((l1 < 0.5).astype(jnp.float32)
+                    + (l1 < 1.0).astype(jnp.float32)
+                    + (l1 < 2.0).astype(jnp.float32)
+                    + (l1 < 4.0).astype(jnp.float32))
+    dims = (-1,) if per_residue else (-2, -1)
+    return (eps + jnp.sum(scored * score, axis=dims)) / (
+        eps + jnp.sum(scored, axis=dims))
+
+
+def lddt_loss(logits: jnp.ndarray, pred_atom37: jnp.ndarray,
+              gt_atom37: jnp.ndarray, atom37_mask: jnp.ndarray,
+              resolution: jnp.ndarray, cutoff: float = 15.0,
+              no_bins: int = 50, min_resolution: float = 0.1,
+              max_resolution: float = 3.0, eps: float = 1e-10) -> jnp.ndarray:
+    """CA-lDDT confidence-head cross-entropy (reference lddt_loss,
+    loss.py:463-513): bin the (stop-gradient) true lDDT, CE against logits,
+    resolution-gated."""
+    ca = 1  # atom37 CA index
+    score = lddt(pred_atom37[..., ca, :], gt_atom37[..., ca, :],
+                 atom37_mask[..., ca:ca + 1], cutoff=cutoff, eps=eps)
+    score = jax.lax.stop_gradient(score)
+    bins = jnp.clip((score * no_bins).astype(jnp.int32), 0, no_bins - 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    errors = -jnp.take_along_axis(logp, bins[..., None], axis=-1)[..., 0]
+    m = atom37_mask[..., ca]
+    loss = jnp.sum(errors * m, -1) / (eps + jnp.sum(m, -1))
+    gate = ((resolution >= min_resolution)
+            & (resolution <= max_resolution)).astype(loss.dtype)
+    return jnp.mean(loss * gate)
+
+
+def _bin_centers(max_bin: float, no_bins: int) -> jnp.ndarray:
+    boundaries = jnp.linspace(0.0, max_bin, no_bins - 1)
+    step = boundaries[1] - boundaries[0]
+    centers = boundaries + step / 2
+    return jnp.concatenate([centers, centers[-1:] + step])
+
+
+def compute_predicted_aligned_error(logits: jnp.ndarray, max_bin: float = 31,
+                                    no_bins: int = 64) -> Dict[str, jnp.ndarray]:
+    """Expected aligned error per residue pair from PAE-head logits
+    (reference compute_predicted_aligned_error, loss.py:584-625)."""
+    centers = _bin_centers(max_bin, no_bins)
+    probs = jnp.exp(logits - jnp.max(logits, -1, keepdims=True))
+    probs = probs / jnp.sum(probs, -1, keepdims=True)
+    return {
+        "aligned_confidence_probs": probs,
+        "predicted_aligned_error": jnp.sum(probs * centers, axis=-1),
+        "max_predicted_aligned_error": centers[-1],
+    }
+
+
+def compute_tm(logits: jnp.ndarray,
+               residue_weights: Optional[jnp.ndarray] = None,
+               max_bin: float = 31, no_bins: int = 64,
+               eps: float = 1e-8) -> jnp.ndarray:
+    """Predicted TM-score from PAE-head logits (reference compute_tm,
+    loss.py:628-662)."""
+    n = logits.shape[-2]
+    if residue_weights is None:
+        residue_weights = jnp.ones((n,), logits.dtype)
+    centers = _bin_centers(max_bin, no_bins)
+    d0 = 1.24 * (max(n, 19) - 15) ** (1.0 / 3) - 1.8
+    probs = jnp.exp(logits - jnp.max(logits, -1, keepdims=True))
+    probs = probs / jnp.sum(probs, -1, keepdims=True)
+    tm_per_bin = 1.0 / (1.0 + (centers ** 2) / (d0 ** 2))
+    predicted_tm = jnp.sum(probs * tm_per_bin, axis=-1)  # (..., n, n)
+    normed = residue_weights / (eps + jnp.sum(residue_weights))
+    per_alignment = jnp.sum(predicted_tm * normed, axis=-1)
+    weighted = per_alignment * residue_weights
+    return per_alignment[..., jnp.argmax(weighted, axis=-1)]
+
+
+def tm_loss(logits: jnp.ndarray, pred_rigids: Rigid, gt_rigids: Rigid,
+            mask: jnp.ndarray, resolution: jnp.ndarray,
+            max_bin: float = 31, no_bins: int = 64,
+            min_resolution: float = 0.1, max_resolution: float = 3.0,
+            eps: float = 1e-8) -> jnp.ndarray:
+    """PAE-head cross-entropy against (stop-gradient) frame-aligned squared
+    errors (reference tm_loss, loss.py:665-712)."""
+    def points(r: Rigid):
+        return r.invert().expand_dims(-1).apply(r.trans[..., None, :, :])
+
+    sq = jnp.sum((points(pred_rigids) - points(gt_rigids)) ** 2, axis=-1)
+    sq = jax.lax.stop_gradient(sq)
+    boundaries = jnp.linspace(0.0, max_bin, no_bins - 1) ** 2
+    true_bins = jnp.sum(sq[..., None] > boundaries, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    errors = -jnp.take_along_axis(logp, true_bins[..., None], axis=-1)[..., 0]
+    square_mask = mask[..., None] * mask[..., None, :]
+    scale = 0.5  # matches the reference's fp16 stabilization
+    loss = jnp.sum(errors * square_mask, axis=-1)
+    loss = loss / (eps + jnp.sum(scale * square_mask, axis=(-1, -2)))[..., None]
+    loss = jnp.sum(loss, axis=-1) * scale
+    gate = ((resolution >= min_resolution)
+            & (resolution <= max_resolution)).astype(loss.dtype)
+    return jnp.mean(loss * gate)
+
+
+def atom14_dists_bounds(overlap_tolerance: float = 1.5):
+    """Per-restype within-residue distance bounds on atom14 (vdW clash
+    bounds; reference residue_constants.make_atom14_dists_bounds:855 —
+    its literature bond/angle tightening reads stereo_chemical_props.txt,
+    which is absent from the reference checkout too, so only the vdW part
+    is reproducible). Returns (lower, upper) of shape (21, 14, 14)."""
+    lower = np.zeros((ch.restype_num + 1, 14, 14), np.float32)
+    upper = np.full((ch.restype_num + 1, 14, 14), 1e10, np.float32)
+    for ri, one in enumerate(ch.restypes):
+        names = ch.restype_name_to_atom14_names[ch.restype_1to3[one]]
+        radii = [ch.van_der_waals_radius[nm[0]] if nm else 0.0 for nm in names]
+        for i, nm_i in enumerate(names):
+            if not nm_i:
+                continue
+            for j, nm_j in enumerate(names):
+                if not nm_j or i == j:
+                    continue
+                lower[ri, i, j] = radii[i] + radii[j] - overlap_tolerance
+    return lower, upper
+
+
+def within_residue_violations(atom14_pred: jnp.ndarray,
+                              atom14_exists: jnp.ndarray,
+                              dists_lower_bound: jnp.ndarray,
+                              dists_upper_bound: jnp.ndarray,
+                              tighten_bounds_for_loss: float = 0.0,
+                              eps: float = 1e-10) -> Dict[str, jnp.ndarray]:
+    """Steric violations of non-bonded atoms within each residue
+    (reference within_residue_violations, loss.py:1020-1106).
+    bounds are (..., N, 14, 14) — gather from `atom14_dists_bounds` tables
+    by aatype before calling."""
+    masks = (1.0 - jnp.eye(14)) * (atom14_exists[..., :, :, None]
+                                   * atom14_exists[..., :, None, :])
+    dists = jnp.sqrt(eps + jnp.sum(
+        (atom14_pred[..., :, :, None, :]
+         - atom14_pred[..., :, None, :, :]) ** 2, axis=-1))
+    low_err = jnp.maximum(
+        dists_lower_bound + tighten_bounds_for_loss - dists, 0.0)
+    high_err = jnp.maximum(
+        dists - (dists_upper_bound - tighten_bounds_for_loss), 0.0)
+    loss = masks * (low_err + high_err)
+    per_atom_loss_sum = jnp.sum(loss, axis=-2) + jnp.sum(loss, axis=-1)
+    violations = masks * ((dists < dists_lower_bound)
+                          | (dists > dists_upper_bound)).astype(masks.dtype)
+    per_atom_violations = jnp.maximum(jnp.max(violations, axis=-2),
+                                      jnp.max(violations, axis=-1))
+    return {"per_atom_loss_sum": per_atom_loss_sum,
+            "per_atom_violations": per_atom_violations}
+
+
+def extreme_ca_ca_distance_violations(pred_atom_pos: jnp.ndarray,
+                                      pred_atom_mask: jnp.ndarray,
+                                      residue_index: jnp.ndarray,
+                                      max_angstrom_tolerance: float = 1.5,
+                                      eps: float = 1e-6) -> jnp.ndarray:
+    """Fraction of consecutive CA-CA pairs stretched beyond the ideal
+    distance + tolerance (reference loss.py:1237-1272; atom index 1 = CA in
+    both atom14 and atom37)."""
+    this_ca = pred_atom_pos[..., :-1, 1, :]
+    next_ca = pred_atom_pos[..., 1:, 1, :]
+    mask = (pred_atom_mask[..., :-1, 1] * pred_atom_mask[..., 1:, 1]
+            * (residue_index[..., 1:] - residue_index[..., :-1] == 1))
+    d = jnp.sqrt(eps + jnp.sum((this_ca - next_ca) ** 2, axis=-1))
+    viol = ((d - ch.ca_ca) > max_angstrom_tolerance).astype(jnp.float32)
+    return jnp.sum(viol * mask, -1) / (eps + jnp.sum(mask, -1))
+
+
+def compute_renamed_ground_truth(atom14_gt: jnp.ndarray,
+                                 atom14_alt_gt: jnp.ndarray,
+                                 atom14_gt_exists: jnp.ndarray,
+                                 atom14_alt_gt_exists: jnp.ndarray,
+                                 atom14_is_ambiguous: jnp.ndarray,
+                                 atom14_pred: jnp.ndarray,
+                                 eps: float = 1e-10) -> Dict[str, jnp.ndarray]:
+    """Per-residue choice between the ground truth and its 180deg-symmetric
+    renaming, by which matches the prediction's ambiguous-to-unambiguous
+    distances better (AF2 Alg. 26; reference loss.py:1355-1484)."""
+    def cross_dists(pos):
+        return jnp.sqrt(eps + jnp.sum(
+            (pos[..., :, None, :, None, :]
+             - pos[..., None, :, None, :, :]) ** 2, axis=-1))
+
+    pred_d = cross_dists(atom14_pred)
+    gt_d = cross_dists(atom14_gt)
+    alt_d = cross_dists(atom14_alt_gt)
+
+    err = jnp.sqrt(eps + (pred_d - gt_d) ** 2)
+    alt_err = jnp.sqrt(eps + (pred_d - alt_d) ** 2)
+
+    # ambiguous atoms of residue i against unambiguous atoms of residue j
+    mask = (atom14_gt_exists[..., :, None, :, None]
+            * atom14_is_ambiguous[..., :, None, :, None]
+            * atom14_gt_exists[..., None, :, None, :]
+            * (1.0 - atom14_is_ambiguous[..., None, :, None, :]))
+    per_res = jnp.sum(mask * err, axis=(-1, -2, -3))
+    alt_per_res = jnp.sum(mask * alt_err, axis=(-1, -2, -3))
+    alt_better = (alt_per_res < per_res).astype(atom14_pred.dtype)
+
+    sel = alt_better[..., None, None]
+    return {
+        "alt_naming_is_better": alt_better,
+        "renamed_atom14_gt_positions":
+            (1.0 - sel) * atom14_gt + sel * atom14_alt_gt,
+        "renamed_atom14_gt_exists":
+            (1.0 - sel[..., 0]) * atom14_gt_exists
+            + sel[..., 0] * atom14_alt_gt_exists,
+    }
+
+
+def compute_drmsd(structure_1: jnp.ndarray, structure_2: jnp.ndarray,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Distance-matrix RMSD between two point sets (reference compute_drmsd,
+    loss.py:1520-1542)."""
+    if mask is not None:
+        structure_1 = structure_1 * mask[..., None]
+        structure_2 = structure_2 * mask[..., None]
+    d1 = jnp.sqrt(jnp.sum(
+        (structure_1[..., :, None, :] - structure_1[..., None, :, :]) ** 2, -1))
+    d2 = jnp.sqrt(jnp.sum(
+        (structure_2[..., :, None, :] - structure_2[..., None, :, :]) ** 2, -1))
+    drmsd = jnp.sum((d1 - d2) ** 2, axis=(-1, -2))
+    n = d1.shape[-1] if mask is None else jnp.sum(mask, axis=-1)
+    drmsd = jnp.where(n > 1, drmsd / (n * (n - 1)), 0.0)
+    return jnp.sqrt(drmsd)

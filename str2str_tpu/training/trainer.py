@@ -16,7 +16,6 @@ pure-functional jax loop:
 """
 from __future__ import annotations
 
-import csv
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -51,6 +50,16 @@ class TrainConfig:
     val_every_n_epochs: int = 1
     ckpt_every_n_epochs: int = 1
     keep_ckpts: int = 3
+    # Accumulate gradients over N micro-batches before each optimizer update
+    # (reference trainer.accumulate_grad_batches semantics).
+    gradient_accumulation: int = 1
+    # Stop when val/loss has not improved for N validation epochs
+    # (reference EarlyStopping, configs/callbacks/default.yaml:16-26);
+    # <= 0 disables.
+    early_stopping_patience: int = -1
+    # Keep a `best/` checkpoint tracking the lowest val/loss (reference
+    # ModelCheckpoint monitor=val/loss, configs/callbacks/default.yaml:8-15).
+    save_best: bool = True
     detect_anomaly: bool = False
     profile_dir: str = ""
     self_conditioning_prob: float = 0.5
@@ -64,7 +73,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
     chain.append(opt)
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.gradient_accumulation > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accumulation)
+    return tx
 
 
 def set_learning_rate(opt_state, lr: float):
@@ -91,14 +103,9 @@ def get_learning_rate(opt_state) -> float:
 class Trainer:
     def __init__(self, net, diffuser: SE3Diffusion, loss_cfg: LossConfig,
                  cfg: TrainConfig = TrainConfig(), log_dir: str = "outputs/logs",
-                 ckpt_dir: str = "outputs/ckpt"):
-        # The fused Pallas kernels have no VJP yet; train on the XLA path.
-        from dataclasses import replace as _dc_replace
-        from ..model.network import ScoreNetwork as _SN
-        if isinstance(net, _SN) and (net.cfg.use_pallas != "off"
-                                     or net.cfg.use_pallas_ipa != "off"):
-            net = _SN(_dc_replace(net.cfg, use_pallas="off",
-                                  use_pallas_ipa="off"))
+                 ckpt_dir: str = "outputs/ckpt", loggers=None):
+        # The fused Pallas kernels are custom_vjps (XLA-oracle backward), so
+        # training runs the fused forward paths as-is.
         self.net = net
         self.diffuser = diffuser
         self.loss_cfg = loss_cfg
@@ -107,7 +114,12 @@ class Trainer:
         self.optimizer = make_optimizer(cfg)
         self.log_dir = Path(log_dir)
         self.ckpt_dir = Path(ckpt_dir)
-        self._csv_file = None
+        # Pluggable experiment loggers (reference configs/logger/* surface);
+        # default preserves the CSV behavior.
+        if loggers is None:
+            from ..utils.metrics_logger import CSVLogger, MultiLogger
+            loggers = MultiLogger([CSVLogger(str(self.log_dir))])
+        self.loggers = loggers
         self._compiled = {}
 
     # ------------------------------------------------------------------
@@ -197,14 +209,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _log_csv(self, row: Dict[str, Any]):
-        self.log_dir.mkdir(parents=True, exist_ok=True)
-        path = self.log_dir / "metrics.csv"
-        exists = path.exists()
-        with open(path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(row.keys()))
-            if not exists:
-                w.writeheader()
-            w.writerow(row)
+        self.loggers.log_metrics(row)
+
+    def _sched_template(self) -> Dict[str, Any]:
+        return {"lr": np.float64(self.cfg.lr), "plateau_wait": np.int64(0),
+                "best_val": np.float64(np.inf), "es_wait": np.int64(0)}
 
     def fit(self, params, train_loader, val_loader=None,
             resume_from: Optional[str] = None) -> Dict[str, Any]:
@@ -212,21 +221,33 @@ class Trainer:
         self.compile()
         opt_state = self.optimizer.init(params)
         start_epoch, step = 0, 0
+        sched = self._sched_template()
         if resume_from:
-            restored = ckpt_lib.load_checkpoint(resume_from)
+            # Structure-preserving restore: orbax rebuilds params AND the
+            # (namedtuple-nested) optax state against the live templates,
+            # instead of a fragile leaf-order unflatten.
+            template = {"params": params, "opt_state": opt_state,
+                        "step": np.int64(0), "epoch": np.int64(0),
+                        "sched": sched}
+            restored = ckpt_lib.load_checkpoint(resume_from, target=template)
             params = restored["params"]
-            if "opt_state" in restored:
-                opt_state = jax.tree.unflatten(
-                    jax.tree.structure(opt_state),
-                    jax.tree.leaves(restored["opt_state"]))
+            opt_state = restored["opt_state"]
             step = int(restored.get("step", 0))
             start_epoch = int(restored.get("epoch", 0))
+            sched = restored.get("sched", sched)
+            # Re-apply the restored learning rate to the optimizer state so a
+            # resumed run does not silently reset its plateau schedule.
+            opt_state = set_learning_rate(opt_state, float(sched["lr"]))
 
         if cfg.detect_anomaly:
             jax.config.update("jax_debug_nans", True)
 
-        key = jax.random.PRNGKey(cfg.seed)
-        best_val, plateau_wait, lr = float("inf"), 0, cfg.lr
+        key = jax.random.PRNGKey(cfg.seed + start_epoch)
+        best_val = float(sched["best_val"])
+        plateau_wait = int(sched["plateau_wait"])
+        es_wait = int(sched["es_wait"])
+        lr = float(sched["lr"])
+        stop_early = False
         history = []
 
         for epoch in range(start_epoch, cfg.max_epochs):
@@ -269,29 +290,46 @@ class Trainer:
                 val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
                 row["val/loss"] = val_loss
 
-                # ReduceLROnPlateau on val loss.
-                if val_loss < best_val - 1e-12:
-                    best_val, plateau_wait = val_loss, 0
+                improved = val_loss < best_val - 1e-12
+                if improved:
+                    best_val, plateau_wait, es_wait = val_loss, 0, 0
+                    if cfg.save_best:
+                        # Best-model checkpoint (reference ModelCheckpoint
+                        # monitoring val/loss, callbacks/default.yaml:8-15).
+                        ckpt_lib.save_checkpoint(
+                            str(self.ckpt_dir / "best"),
+                            {"params": params, "step": step,
+                             "epoch": epoch + 1},
+                            metadata={"val_loss": val_loss, "epoch": epoch})
                 else:
+                    # ReduceLROnPlateau on val loss.
                     plateau_wait += 1
+                    es_wait += 1
                     if plateau_wait > cfg.plateau_patience:
                         lr = max(lr * cfg.plateau_factor, cfg.min_lr)
                         opt_state = set_learning_rate(opt_state, lr)
                         plateau_wait = 0
+                    if 0 < cfg.early_stopping_patience <= es_wait:
+                        stop_early = True
 
             self._log_csv(row)
             history.append(row)
 
-            if (epoch + 1) % cfg.ckpt_every_n_epochs == 0:
+            if (epoch + 1) % cfg.ckpt_every_n_epochs == 0 or stop_early:
+                sched = {"lr": np.float64(lr),
+                         "plateau_wait": np.int64(plateau_wait),
+                         "best_val": np.float64(best_val),
+                         "es_wait": np.int64(es_wait)}
                 ckpt_lib.save_checkpoint(
                     str(self.ckpt_dir / f"step_{step}"),
                     {"params": params, "opt_state": opt_state,
-                     "step": step, "epoch": epoch + 1},
+                     "step": step, "epoch": epoch + 1, "sched": sched},
                     metadata={"val_loss": row.get("val/loss"), "epoch": epoch})
                 ckpt_lib.prune_checkpoints(str(self.ckpt_dir), cfg.keep_ckpts)
 
-            if 0 < cfg.max_steps <= step:
+            if stop_early or 0 < cfg.max_steps <= step:
                 break
 
         return {"params": params, "opt_state": opt_state, "step": step,
-                "history": history, "best_val": best_val}
+                "history": history, "best_val": best_val,
+                "stopped_early": stop_early}

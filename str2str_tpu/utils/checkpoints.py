@@ -26,8 +26,43 @@ def save_checkpoint(path: str, state: Dict[str, Any],
         (path / "metadata.json").write_text(json.dumps(metadata, default=str))
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
-    return _checkpointer().restore(str(Path(path).absolute()))
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Dict[str, Any]:
+    """Restore a checkpoint. With `target`, orbax rebuilds the exact pytree
+    structure (namedtuple optimizer states included) instead of returning
+    nested dicts; extra keys missing from the checkpoint fall back to the
+    target's values (back-compat with older checkpoints)."""
+    path = str(Path(path).absolute())
+    ckpt = _checkpointer().restore(path)
+    if target is None:
+        return ckpt
+
+    def rebuild(tmpl, saved):
+        """Name-directed structural rebuild: dicts and namedtuples match by
+        key/field name (orbax serializes namedtuples as dicts, and leaf ORDER
+        differs between dict-sorted and field order — never zip leaves)."""
+        if saved is None:
+            return tmpl
+        if isinstance(tmpl, dict):
+            if not isinstance(saved, dict):
+                return tmpl
+            return {k: rebuild(v, saved.get(k)) for k, v in tmpl.items()}
+        if hasattr(tmpl, "_fields"):  # namedtuple (optax states)
+            get = (saved.get if isinstance(saved, dict)
+                   else lambda f: getattr(saved, f, None))
+            return type(tmpl)(**{f: rebuild(getattr(tmpl, f), get(f))
+                                 for f in tmpl._fields})
+        if isinstance(tmpl, (list, tuple)):
+            if isinstance(saved, dict):  # orbax may key sequences as "0","1"
+                saved_seq = [saved.get(str(i)) for i in range(len(tmpl))]
+            elif isinstance(saved, (list, tuple)) and len(saved) == len(tmpl):
+                saved_seq = list(saved)
+            else:
+                return tmpl
+            out = [rebuild(t, s) for t, s in zip(tmpl, saved_seq)]
+            return out if isinstance(tmpl, list) else type(tmpl)(out)
+        return saved  # leaf
+
+    return rebuild(target, ckpt)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

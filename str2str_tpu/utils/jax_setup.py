@@ -27,4 +27,10 @@ def setup(cache_dir: str | None = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    # Multi-host: bring up jax.distributed before the first backend touch
+    # when a coordinator is configured (JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars; autodetected on pods).
+    from ..parallel.mesh import init_distributed
+    init_distributed()
     _DONE = True

@@ -1,0 +1,141 @@
+"""Pluggable experiment loggers (reference configs/logger/*.yaml surface).
+
+The reference instantiates Lightning loggers from the `logger` config group
+(csv / tensorboard / wandb / many_loggers). Equivalents here:
+
+  * CSVLogger        — append-to-csv rows (the round-1 default, unchanged)
+  * TensorBoardLogger— torch.utils.tensorboard SummaryWriter (ships w/ torch)
+  * WandbLogger      — weights & biases; degrades to a warning when the
+                       package is absent from the image
+  * MultiLogger      — fan-out to several
+
+`build_loggers(cfg)` maps the config group to instances; every logger
+implements `log_metrics(row: dict, step: int)`, `log_hyperparams(params)`
+and `finalize()`.
+"""
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from .logging import get_logger
+
+log = get_logger(__name__)
+
+
+class CSVLogger:
+    def __init__(self, save_dir: str, filename: str = "metrics.csv"):
+        self.path = Path(save_dir) / filename
+        self._fields: Optional[List[str]] = None
+
+    def log_metrics(self, row: Dict[str, Any], step: Optional[int] = None):
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        exists = self.path.exists()
+        with open(self.path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
+
+    def log_hyperparams(self, params: Dict[str, Any]):
+        p = self.path.parent / "hparams.csv"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with open(p, "w", newline="") as f:
+            w = csv.writer(f)
+            for k, v in sorted(params.items()):
+                w.writerow([k, v])
+
+    def finalize(self):
+        pass
+
+
+class TensorBoardLogger:
+    def __init__(self, save_dir: str):
+        from torch.utils.tensorboard import SummaryWriter
+        Path(save_dir).mkdir(parents=True, exist_ok=True)
+        self.writer = SummaryWriter(log_dir=save_dir)
+
+    def log_metrics(self, row: Dict[str, Any], step: Optional[int] = None):
+        step = int(row.get("step", step or 0))
+        for k, v in row.items():
+            if isinstance(v, (int, float)) and k != "step":
+                self.writer.add_scalar(k, v, global_step=step)
+
+    def log_hyperparams(self, params: Dict[str, Any]):
+        self.writer.add_text(
+            "hparams", "\n".join(f"{k}: {v}" for k, v in sorted(params.items())))
+
+    def finalize(self):
+        self.writer.flush()
+        self.writer.close()
+
+
+class WandbLogger:
+    def __init__(self, project: str = "str2str_tpu", save_dir: str = ".",
+                 name: Optional[str] = None, tags=()):
+        try:
+            import wandb
+        except ImportError:
+            log.warning("wandb is not installed; WandbLogger is a no-op")
+            self.run = None
+            return
+        self.run = wandb.init(project=project, dir=save_dir, name=name,
+                              tags=list(tags), reinit=True)
+
+    def log_metrics(self, row: Dict[str, Any], step: Optional[int] = None):
+        if self.run is not None:
+            self.run.log({k: v for k, v in row.items()
+                          if isinstance(v, (int, float))},
+                         step=int(row.get("step", step or 0)))
+
+    def log_hyperparams(self, params: Dict[str, Any]):
+        if self.run is not None:
+            self.run.config.update(params, allow_val_change=True)
+
+    def finalize(self):
+        if self.run is not None:
+            self.run.finish()
+
+
+class MultiLogger:
+    def __init__(self, loggers):
+        self.loggers = list(loggers)
+
+    def log_metrics(self, row, step=None):
+        for lg in self.loggers:
+            lg.log_metrics(row, step)
+
+    def log_hyperparams(self, params):
+        for lg in self.loggers:
+            lg.log_hyperparams(params)
+
+    def finalize(self):
+        for lg in self.loggers:
+            lg.finalize()
+
+
+def build_logger(name: str, save_dir: str, **kw):
+    name = (name or "csv").lower()
+    if name == "csv":
+        return CSVLogger(save_dir)
+    if name == "tensorboard":
+        return TensorBoardLogger(str(Path(save_dir) / "tensorboard"))
+    if name == "wandb":
+        return WandbLogger(save_dir=save_dir, **kw)
+    if name in ("many", "many_loggers"):
+        return MultiLogger([CSVLogger(save_dir),
+                            TensorBoardLogger(str(Path(save_dir) / "tensorboard"))])
+    raise ValueError(f"unknown logger {name!r}")
+
+
+def build_loggers(cfg) -> MultiLogger:
+    """From the config `logger` group (name + optional kwargs)."""
+    lg = cfg.get("logger") or {}
+    name = lg.get("name", "csv") if hasattr(lg, "get") else str(lg)
+    save_dir = str(lg.get("save_dir", "outputs/logs")) if hasattr(lg, "get") \
+        else "outputs/logs"
+    extra = {k: v for k, v in (dict(lg) if hasattr(lg, "items") else {}).items()
+             if k not in ("name", "save_dir")}
+    built = build_logger(name, save_dir, **extra)
+    return built if isinstance(built, MultiLogger) else MultiLogger([built])

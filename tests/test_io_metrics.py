@@ -102,3 +102,63 @@ def test_metrics_parity_with_reference(rng, reference_available):
     theirs_rg = ref_m.js_rg(ens)
     for k in mine_rg:
         assert abs(mine_rg[k] - theirs_rg[k]) < 2e-4
+
+
+def test_tica_against_independent_generalized_eig(rng):
+    """Cross-validate evaluation/tica.py against an independent oracle:
+    the same reversible-TICA math (symmetrized covariances, Bessel
+    correction) solved as a direct generalized eigenproblem
+    C0t v = lambda C00 v with scipy — a different numerical route than the
+    whitening path the implementation uses. deeptime itself is not in the
+    image (conftest stubs it), so two independent implementations agreeing
+    + the committed regression goldens below stand in for library parity."""
+    import scipy.linalg
+    from str2str_tpu.evaluation.tica import fit_tica
+
+    # Metastable two-state toy trajectory with slow switching.
+    T, D, lag = 600, 6, 20
+    state = (np.cumsum(rng.rand(T) < 0.01) % 2).astype(float)
+    centers = rng.randn(2, D) * 3
+    x = centers[state.astype(int)] + 0.3 * rng.randn(T, D)
+
+    model = fit_tica(x, lagtime=lag, dim=2)
+
+    # independent oracle
+    x0, xt = x[:-lag], x[lag:]
+    mean = 0.5 * (x0.mean(0) + xt.mean(0))
+    a, b = x0 - mean, xt - mean
+    n = len(a)
+    c00 = 0.5 * (a.T @ a + b.T @ b) / (n - 1)
+    c0t = 0.5 * (a.T @ b + b.T @ a) / (n - 1)
+    lam, vecs = scipy.linalg.eigh(c0t, c00)
+    order = np.argsort(lam)[::-1]
+    lam, vecs = lam[order][:2], vecs[:, order][:, :2]
+
+    np.testing.assert_allclose(model.eigenvalues, lam, atol=1e-8)
+    # projections match up to per-component sign (kinetic_map scales by
+    # eigenvalues, so compare the scaled oracle)
+    got = model.transform(x)
+    want = (x - mean) @ (vecs * lam[None, :])
+    for d in range(2):
+        err_same = np.abs(got[:, d] - want[:, d]).max()
+        err_flip = np.abs(got[:, d] + want[:, d]).max()
+        assert min(err_same, err_flip) < 1e-7
+
+
+def test_tica_regression_goldens():
+    """Deterministic goldens: protects the TICA numerics (and hence js_tica)
+    against silent regressions."""
+    from str2str_tpu.evaluation.tica import fit_tica
+
+    rng = np.random.RandomState(1234)
+    T, D = 300, 4
+    drift = np.sin(np.arange(T)[:, None] * 0.05) * np.asarray([3, -1, 2, 0.5])
+    x = drift + 0.2 * rng.randn(T, D)
+    model = fit_tica(x, lagtime=10, dim=2)
+    np.testing.assert_allclose(
+        model.eigenvalues, [0.88172583, 0.05964413], atol=1e-6)
+    got = model.transform(x[:3])
+    np.testing.assert_allclose(np.abs(got), np.abs(np.asarray(
+        [[0.03594144, 0.07993717],
+         [0.0807883, 0.038529],
+         [-0.0701778, 0.08437752]])), atol=1e-5)

@@ -139,3 +139,68 @@ def test_ipa_module_paths_match(rng):
         out_on = on.apply(params, s, z, frames, mask)
     np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_on),
                                atol=3e-5, rtol=1e-4)
+
+
+def _interpret_ctx():
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    real_call = pl.pallas_call
+
+    def fake_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    return mock.patch.object(pl, "pallas_call", fake_call)
+
+
+def test_edge_transition_grads_match_between_paths(rng):
+    """Training through the fused edge kernel: custom_vjp grads == XLA-path
+    grads (the backward differentiates the identical reference math)."""
+    from str2str_tpu.model.layers import EdgeTransition
+
+    node = jnp.asarray(rng.randn(1, 12, 32), jnp.float32)
+    edge = jnp.asarray(rng.randn(1, 12, 12, 24), jnp.float32)
+
+    off = EdgeTransition(edge_embed_out=24, use_pallas="off")
+    params = off.init(jax.random.PRNGKey(0), node, edge)
+
+    def loss(p, mod):
+        return jnp.sum(mod.apply(p, node, edge) ** 2)
+
+    g_off = jax.grad(loss)(params, off)
+    on = EdgeTransition(edge_embed_out=24, use_pallas="on")
+    with _interpret_ctx():
+        g_on = jax.grad(loss)(params, on)
+    for a, b in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_on)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
+
+
+def test_ipa_grads_match_between_paths(rng):
+    """Training through the fused IPA kernel: custom_vjp grads == XLA-path
+    grads."""
+    from str2str_tpu.model.ipa import Frames, InvariantPointAttention
+    from str2str_tpu.geometry import rotations as R
+
+    B, L = 1, 16
+    s = jnp.asarray(rng.randn(B, L, 32), jnp.float32)
+    z = jnp.asarray(rng.randn(B, L, L, 16), jnp.float32)
+    frames = Frames(
+        R.random_quat(jax.random.PRNGKey(0), (B, L)),
+        jnp.asarray(rng.randn(B, L, 3) * 4, jnp.float32))
+    mask = jnp.ones((B, L))
+
+    kw = dict(c_hidden=16, no_heads=4, no_qk_points=4, no_v_points=6)
+    off = InvariantPointAttention(use_pallas="off", **kw)
+    params = off.init(jax.random.PRNGKey(1), s, z, frames, mask)
+
+    def loss(p, mod):
+        return jnp.sum(mod.apply(p, s, z, frames, mask) ** 2)
+
+    g_off = jax.grad(loss)(params, off)
+    on = InvariantPointAttention(use_pallas="on", **kw)
+    with _interpret_ctx():
+        g_on = jax.grad(loss)(params, on)
+    for a, b in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_on)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
