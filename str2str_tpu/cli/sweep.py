@@ -1,0 +1,153 @@
+"""Hyperparameter sweep CLI: random / grid search over config overrides.
+
+First-party equivalent of the reference's Optuna sweeper
+(`/root/reference/configs/hparams_search/optuna.yaml:17-51`; optuna itself
+is not in this image): runs `cli.train` repeatedly with sampled overrides,
+optimizes a monitored metric, and writes a trials CSV + the best config.
+
+Search-space syntax (one spec per --param, mirroring the hydra-optuna one):
+    --param 'model.optimizer.lr=interval(1e-5, 1e-1)'      # log-uniform
+    --param 'data.batch_size=choice(1, 2, 4)'
+    --param 'trainer.gradient_accumulation=range(1, 4)'    # inclusive ints
+
+Usage:
+    python -m str2str_tpu.cli.sweep --n-trials 20 --metric val/loss \
+        --direction minimize --param 'model.optimizer.lr=interval(1e-5,1e-1)' \
+        -- trainer.max_epochs=3 data.batch_size=2 [...fixed overrides]
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import math
+import re
+import sys
+from pathlib import Path
+from typing import Any, Dict, List
+
+import numpy as np
+
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def parse_space(specs: List[str]) -> Dict[str, dict]:
+    space = {}
+    for spec in specs:
+        key, expr = spec.split("=", 1)
+        m = re.match(r"interval\(([^,]+),([^)]+)\)$", expr.strip())
+        if m:
+            lo, hi = float(m.group(1)), float(m.group(2))
+            space[key] = {"kind": "interval", "lo": lo, "hi": hi,
+                          "log": lo > 0 and hi / lo > 100}
+            continue
+        m = re.match(r"choice\((.+)\)$", expr.strip())
+        if m:
+            vals = [v.strip() for v in m.group(1).split(",")]
+            space[key] = {"kind": "choice", "values": vals}
+            continue
+        m = re.match(r"range\(([^,]+),([^)]+)\)$", expr.strip())
+        if m:
+            space[key] = {"kind": "range", "lo": int(m.group(1)),
+                          "hi": int(m.group(2))}
+            continue
+        raise ValueError(f"unparseable search spec {spec!r}")
+    return space
+
+
+def sample(space: Dict[str, dict], rng: np.random.RandomState) -> Dict[str, Any]:
+    out = {}
+    for key, s in space.items():
+        if s["kind"] == "interval":
+            if s["log"]:
+                out[key] = float(np.exp(rng.uniform(
+                    math.log(s["lo"]), math.log(s["hi"]))))
+            else:
+                out[key] = float(rng.uniform(s["lo"], s["hi"]))
+        elif s["kind"] == "choice":
+            out[key] = s["values"][rng.randint(len(s["values"]))]
+        else:
+            out[key] = int(rng.randint(s["lo"], s["hi"] + 1))
+    return out
+
+
+def grid(space: Dict[str, dict]) -> List[Dict[str, Any]]:
+    import itertools
+    axes = []
+    for key, s in space.items():
+        if s["kind"] == "choice":
+            axes.append([(key, v) for v in s["values"]])
+        elif s["kind"] == "range":
+            axes.append([(key, v) for v in range(s["lo"], s["hi"] + 1)])
+        else:
+            raise ValueError(f"grid search needs discrete axes; {key} is "
+                             f"an interval")
+    return [dict(combo) for combo in itertools.product(*axes)]
+
+
+def run_trial(overrides: List[str], metric: str):
+    """One training run in-process; returns the last value of `metric`."""
+    from . import train as train_cli
+    result = train_cli.main(overrides)
+    history = result.get("history", [])
+    vals = [row[metric] for row in history if metric in row]
+    if metric in ("best_val",) or not vals:
+        return float(result.get("best_val", float("nan")))
+    return float(vals[-1])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--n-trials", type=int, default=20)
+    ap.add_argument("--metric", default="val/loss")
+    ap.add_argument("--direction", choices=("minimize", "maximize"),
+                    default="minimize")
+    ap.add_argument("--sampler", choices=("random", "grid"), default="random")
+    ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--param", action="append", default=[],
+                    help="search-space spec key=interval(..)|choice(..)|range(..)")
+    ap.add_argument("--out-dir", default="outputs/sweep")
+    ap.add_argument("fixed", nargs="*", help="fixed config overrides")
+    args = ap.parse_args(argv)
+
+    space = parse_space(args.param)
+    rng = np.random.RandomState(args.seed)
+    trials = (grid(space) if args.sampler == "grid"
+              else [sample(space, rng) for _ in range(args.n_trials)])
+    trials = trials[: args.n_trials]
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sign = 1.0 if args.direction == "minimize" else -1.0
+    best, best_params = float("inf"), None
+    rows = []
+    for i, params in enumerate(trials):
+        overrides = args.fixed + [f"{k}={v}" for k, v in params.items()]
+        log.info(f"trial {i + 1}/{len(trials)}: {params}")
+        try:
+            value = run_trial(overrides, args.metric)
+        except Exception as e:  # a failed trial must not kill the sweep
+            log.warning(f"trial {i + 1} failed: {e}")
+            value = float("nan")
+        rows.append({"trial": i, **params, args.metric: value})
+        if np.isfinite(value) and sign * value < best:
+            best, best_params = sign * value, params
+
+    with open(out_dir / "trials.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    summary = {"best_value": sign * best if best_params else None,
+               "best_params": best_params, "metric": args.metric,
+               "direction": args.direction}
+    (out_dir / "best.json").write_text(json.dumps(summary, indent=1))
+    log.info(f"sweep done: best {args.metric}={summary['best_value']} "
+             f"at {best_params}; results in {out_dir}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

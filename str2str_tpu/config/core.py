@@ -180,12 +180,22 @@ def load_config(config_name: str, overrides: Optional[List[str]] = None,
             if optional:
                 continue
             raise
-        cfg = _deep_merge(cfg, {group: sub})
+        # Hydra's `@package _global_` equivalent: a `_global_: true` marker
+        # makes the file merge at the config ROOT (experiment/debug files
+        # override keys across groups, reference configs/experiment/*).
+        if sub.pop("_global_", False):
+            cfg = _deep_merge(cfg, sub)
+        else:
+            cfg = _deep_merge(cfg, {group: sub})
     if "_self_" not in defaults:
         cfg = _deep_merge(cfg, root)
     for group, name in group_overrides.items():
         if name is not None:
-            cfg = _deep_merge(cfg, {group: read_yaml(f"{group}/{name}")})
+            sub = read_yaml(f"{group}/{name}")
+            if sub.pop("_global_", False):
+                cfg = _deep_merge(cfg, sub)
+            else:
+                cfg = _deep_merge(cfg, {group: sub})
 
     config = Config(copy.deepcopy(cfg))
     for key, value, allow_new in dotted:

@@ -51,12 +51,13 @@ class EdgeEmbedder(nn.Module):
 
     The reference concatenates [t_row, t_col, relpos, sc-distogram] into a
     [B, L, L, ~120] tensor before a 3-layer MLP. Mathematically the first
-    linear splits per input block, so: the two time-feature blocks are rank-L
-    (computed at [B, L, .] and broadcast-added), the one-hot distogram block
-    becomes a row *gather* of the kernel (no [B, L, L, 22] tensor, no
-    matmul), and only the relative-position block is a genuine L^2 matmul.
-    Kernel layout matches the reference's packed first layer, so torch
-    checkpoints convert by simple transpose."""
+    linear splits per input block: the two time-feature blocks are rank-L
+    (computed at [B, L, .] and broadcast-added) and only the relative-
+    position / distogram blocks are genuinely pairwise — and those are
+    rebuilt from node-sized inputs INSIDE the fused Pallas kernel
+    (ops/edge_embed.py), which runs the whole trunk in VMEM and writes the
+    [B, L, L, D] result once. Kernel layout matches the reference's packed
+    first layer, so torch checkpoints convert by simple transpose."""
     edge_embed_size: int
     t_feat_dim: int      # per-node time-feature width (t embed + fixed flag)
     pos_embed_size: int
@@ -64,11 +65,13 @@ class EdgeEmbedder(nn.Module):
     min_bin: float
     max_bin: float
     self_conditioning: bool
+    max_len: int = 2056
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"
 
     @nn.compact
-    def __call__(self, t_feats, rel_pos_embed, sc_ca):
-        """t_feats: (B, L, t_feat_dim); rel_pos_embed: (B, L, L, pos);
+    def __call__(self, t_feats, residue_idx, sc_ca):
+        """t_feats: (B, L, t_feat_dim); residue_idx: (B, L) int;
         sc_ca: (B, L, 3). Returns (B, L, L, edge_embed_size)."""
         d = self.edge_embed_size
         tf, pe, nb = self.t_feat_dim, self.pos_embed_size, self.num_bins
@@ -79,27 +82,35 @@ class EdgeEmbedder(nn.Module):
                         nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
                         (in_dim, d))
         b0 = self.param("linear_0_bias", nn.initializers.zeros, (d,))
+        from .layers import INITS, _DenseParams, _LNParams
+        k1, b1 = _DenseParams(d, d, kernel_init=INITS["relu"], name="linear_1")()
+        k2, b2 = _DenseParams(d, d, kernel_init=INITS["default"], name="linear_2")()
+        ln_scale, ln_bias = _LNParams(d, name="norm")()
         dt = self.dtype
 
         tfc = t_feats.astype(dt)
         row = jnp.einsum("...ic,cd->...id", tfc, k0[:tf].astype(dt))
         col = jnp.einsum("...ic,cd->...id", tfc, k0[tf:2 * tf].astype(dt))
-        x = row[..., :, None, :] + col[..., None, :, :]
-        x = x + jnp.einsum("...ijc,cd->...ijd", rel_pos_embed.astype(dt),
-                           k0[2 * tf:2 * tf + pe].astype(dt))
+        krel = k0[2 * tf:2 * tf + pe]
+        kd = (k0[2 * tf + pe:] if self_cond
+              else jnp.zeros((max(nb, 1), d), k0.dtype))
 
-        if self_cond:
-            # One-hot distogram @ kernel block. A [nb, d] row-gather would be
-            # algebraically identical but lowers to slow dynamic gathers on
-            # TPU; the tiny one-hot matmul stays on the MXU.
-            kd = k0[2 * tf + pe:].astype(dt)                      # (nb, d)
-            onehot = distogram(sc_ca, self.min_bin, self.max_bin, nb).astype(dt)
-            x = x + jnp.einsum("...ijc,cd->...ijd", onehot, kd)
+        from ..ops import edge_embed as _ee
 
-        x = nn.relu(x + b0.astype(dt))
-        x = nn.relu(linear(d, init="relu", dtype=dt, name="linear_1")(x))
-        x = linear(d, init="default", dtype=dt, name="linear_2")(x)
-        return nn.LayerNorm(dtype=dt, param_dtype=jnp.float32, name="norm")(x)
+        use_pallas = (self.use_pallas == "on"
+                      or (self.use_pallas == "auto" and _ee.is_supported()))
+        if use_pallas:
+            # custom_vjp: fused Pallas forward, XLA-oracle backward.
+            return _ee.edge_embed(
+                row, col, residue_idx, sc_ca.astype(jnp.float32),
+                krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                self.min_bin, self.max_bin, nb, pe, self.max_len, self_cond)
+        return _ee.edge_embed_reference(
+            row, col, residue_idx, sc_ca.astype(jnp.float32),
+            krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+            min_bin=self.min_bin, max_bin=self.max_bin, num_bins=nb,
+            init_embed_size=pe, max_len=self.max_len,
+            self_conditioning=self_cond)
 
 
 class EmbeddingModule(nn.Module):
@@ -111,6 +122,7 @@ class EmbeddingModule(nn.Module):
     max_bin: float = 20.0
     self_conditioning: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = "auto"
 
     @nn.compact
     def __call__(self, residue_idx, t, fixed_mask, sc_ca_t):
@@ -132,13 +144,12 @@ class EmbeddingModule(nn.Module):
         node_embed = MLP((self.node_embed_size,) * 3, dtype=self.dtype,
                          name="node_embed")(node_in)
 
-        rel_offset = residue_idx[:, :, None] - residue_idx[:, None, :]
-        rel_pos = positional_embedding(rel_offset, self.init_embed_size)
         edge_embed = EdgeEmbedder(
             edge_embed_size=self.edge_embed_size,
             t_feat_dim=t_embed.shape[-1],
             pos_embed_size=self.init_embed_size,
             num_bins=self.num_bins, min_bin=self.min_bin, max_bin=self.max_bin,
             self_conditioning=self.self_conditioning, dtype=self.dtype,
-            name="edge_embed")(t_embed, rel_pos, sc_ca_t.astype(jnp.float32))
+            use_pallas=self.use_pallas,
+            name="edge_embed")(t_embed, residue_idx, sc_ca_t.astype(jnp.float32))
         return node_embed, edge_embed

@@ -49,18 +49,7 @@ def _invert_apply_frames(frames: Frames, pts: jnp.ndarray) -> jnp.ndarray:
     return rot.quat_rotate(q_inv[..., None, :], pts - frames.trans[..., None, :])
 
 
-class _DenseParams(nn.Module):
-    """Bare Dense parameters (kernel/bias) under a named scope, matching
-    nn.Dense's param layout, applied manually inside fused kernels."""
-    in_dim: int
-    out_dim: int
-    kernel_init: object = nn.initializers.lecun_normal()
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", self.kernel_init, (self.in_dim, self.out_dim))
-        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
-        return kernel, bias
+from .layers import _DenseParams  # noqa: E402  (shared fused-kernel helper)
 
 
 class InvariantPointAttention(nn.Module):
@@ -195,7 +184,7 @@ class TranslationIPA(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"
-    use_pallas_ipa: str = "off"
+    use_pallas_ipa: str = "auto"
 
     @nn.compact
     def __call__(self, node_embed, edge_embed, rigids_t7, residue_mask,

@@ -82,6 +82,21 @@ class _LNParams(nn.Module):
         return scale, bias
 
 
+class _DenseParams(nn.Module):
+    """Bare Dense parameters (kernel/bias) under a named scope, matching
+    nn.Dense's param layout, applied manually inside fused kernels."""
+    in_dim: int
+    out_dim: int
+    kernel_init: object = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.in_dim, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias
+
+
 class EdgeTransition(nn.Module):
     """Edge update biased by the node embeddings (reference layers.py:148).
 

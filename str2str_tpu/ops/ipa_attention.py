@@ -67,8 +67,8 @@ def is_supported() -> bool:
         return False
 
 
-def _kernel(qhat_ref, khat_ref, v_ref, vf_ref, bias_ref, pzt_ref,
-            o_ref, opt_ref, opair_ref, *, H: int):
+def _kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
+            o_ref, opt_ref, opair_ref, *, H: int, Cdz: int):
     """Shapes per program (Qb query rows, full-L keys):
     qhat: (1, H, Qb, D+2)  [D = C + 3*Pq: pre-scaled q | point-q | rank-1
                             |q|^2 correction | ones]
@@ -77,8 +77,11 @@ def _kernel(qhat_ref, khat_ref, v_ref, vf_ref, bias_ref, pzt_ref,
                             dot per head yields the complete pre-bias logits]
     v:    (1, H, L, C)
     vf:   (1, H, 3*Pv, L)  [pre-transposed point values]
-    bias: (1, H, Qb, L)    [pair bias, pre-scaled by sqrt(1/3)]
-    pzt:  (1, Qb, Cdz, L)  [down-projected pair values, key dim in lanes]
+    proj: (1, Qb, Cdz+H, L) [ONE fused z projection: down-projected pair
+                            values (first Cdz channels) | sqrt(1/3)-scaled
+                            pair bias per head — channel dim on a MAJOR axis
+                            so both per-head bias and the pz block are free
+                            slices]
     outputs (head-major): o (1, H, Qb, C), opt (1, H, Qb, 3*Pv),
                           opair (1, Qb, H, Cdz)
     """
@@ -88,7 +91,7 @@ def _kernel(qhat_ref, khat_ref, v_ref, vf_ref, bias_ref, pzt_ref,
     for h in range(H):
         logits = jnp.dot(qhat_ref[0, h], khat_ref[0, h],
                          preferred_element_type=jnp.float32)  # (Qb, L)
-        logits = logits + bias_ref[0, h].astype(jnp.float32)
+        logits = logits + proj_ref[0][:, Cdz + h, :].astype(jnp.float32)
 
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
@@ -106,7 +109,7 @@ def _kernel(qhat_ref, khat_ref, v_ref, vf_ref, bias_ref, pzt_ref,
     # contraction over keys, batched over query rows.
     p_all = jnp.stack(ps, axis=1)  # (Qb, H, L)
     opair_ref[0] = jax.lax.dot_general(
-        p_all, pzt_ref[0], (((2,), (2,)), ((0,), (0,))),
+        p_all, proj_ref[0][:, :Cdz, :], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dt)
 
 
@@ -119,6 +122,10 @@ def _pick_query_block(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
     """
     D2 = C + 3 * Pq + 2
     lanes = 128
+    if L < lanes:
+        # Sub-tile lane widths hit unsupported Mosaic relayouts (and the
+        # kernel has nothing to win at tiny L) -> XLA path.
+        return None
 
     def pad(n):  # lane padding of a trailing dim
         return -(-n // lanes) * lanes
@@ -127,12 +134,11 @@ def _pick_query_block(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
                  + H * L * C          # v
                  + H * (3 * Pv + 8) * L  # vf, sublane-padded
                  ) * itemsize
-    budget = 12 * 1024 * 1024
+    budget = 15 * 1024 * 1024
     for qb in (128, 64, 32, 16, 8):
         if qb > Qtot or Qtot % qb:
             continue
-        per_q = (2 * qb * H * L * itemsize           # bias tile
-                 + 2 * qb * Cdz * L * itemsize       # pzT tile
+        per_q = (2 * qb * (Cdz + H) * L * itemsize   # fused projection tile
                  + 2 * qb * pad(D2) * H * itemsize   # qhat
                  + qb * H * L * itemsize             # stacked attn weights
                  + 2 * qb * (C + pad(3 * Pv) + pad(Cdz)) * H * itemsize  # outs
@@ -202,16 +208,20 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
     v4 = heads(v, C)                                      # (B, H, L, C)
     vf4 = heads(v_pts, 3 * Pv).transpose(0, 1, 3, 2)      # (B, H, 3Pv, L)
 
-    # Edge projections: ONE fused XLA pass over z, emitted directly in the
-    # layouts the kernel consumes (free for XLA, prohibitive in-kernel).
-    biasT = (jnp.einsum("bqlc,ch->bhql", z, kb.astype(dt)).astype(jnp.float32)
-             + bb[None, :, None, None]) * math.sqrt(1.0 / 3)
-    biasT = biasT.astype(dt)                              # (B, H, Qtot, L)
-    pzT = (jnp.einsum("bqlc,cd->bqdl", z, kdz.astype(dt)).astype(jnp.float32)
-           + bdz[None, None, :, None]).astype(dt)         # (B, Qtot, Cdz, L)
+    # Edge projections: ONE fused XLA pass over z (single z read), emitted
+    # directly in the layout the kernel consumes — channel dim on a major
+    # axis (free for XLA's copy epilogue, prohibitive to produce in-kernel).
+    wcat = jnp.concatenate(
+        [kdz.astype(jnp.float32),
+         kb.astype(jnp.float32) * math.sqrt(1.0 / 3)], axis=1)  # (Cz, Cdz+H)
+    bcat = jnp.concatenate(
+        [bdz.astype(jnp.float32),
+         bb.astype(jnp.float32) * math.sqrt(1.0 / 3)])          # (Cdz+H,)
+    proj = (jnp.einsum("bqlc,cx->bqxl", z, wcat.astype(dt)).astype(jnp.float32)
+            + bcat[None, None, :, None]).astype(dt)       # (B, Qtot, Cdz+H, L)
 
     D2 = C + 3 * Pq + 2
-    kern = functools.partial(_kernel, H=H)
+    kern = functools.partial(_kernel, H=H, Cdz=Cdz)
     grid = (B, Qtot // qb)
 
     o, opt, opair = pl.pallas_call(
@@ -222,8 +232,7 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
             pl.BlockSpec((1, H, D2, L), lambda b, i: (b, 0, 0, 0)),
             pl.BlockSpec((1, H, L, C), lambda b, i: (b, 0, 0, 0)),
             pl.BlockSpec((1, H, 3 * Pv, L), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, qb, L), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, qb, Cdz, L), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, qb, Cdz + H, L), lambda b, i: (b, i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, H, qb, C), lambda b, i: (b, 0, i, 0)),
@@ -235,7 +244,7 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
             jax.ShapeDtypeStruct((B, H, Qtot, 3 * Pv), dt),
             jax.ShapeDtypeStruct((B, Qtot, H, Cdz), dt),
         ],
-    )(qhat, khat, v4, vf4, biasT, pzT)
+    )(qhat, khat, v4, vf4, proj)
 
     def unheads(t):  # (B, H, Qtot, p) -> (B, Qtot, H*p)
         return t.transpose(0, 2, 1, 3).reshape(B, Qtot, -1)

@@ -95,3 +95,56 @@ def test_train_cli_smoke(tmp_path):
     assert result["step"] == 2
     hist = result["history"]
     assert np.isfinite(hist[-1]["train/loss"])
+
+
+def test_sweep_cli(tmp_path, monkeypatch):
+    """Random-search sweep over config overrides (reference Optuna-sweeper
+    capability, configs/hparams_search/optuna.yaml): runs trials, writes
+    trials.csv + best.json, picks the best metric."""
+    from str2str_tpu.cli import sweep as sweep_cli
+
+    calls = []
+
+    def fake_trial(overrides, metric):
+        calls.append(overrides)
+        lr = float([o.split("=")[1] for o in overrides
+                    if o.startswith("model.optimizer.lr=")][0])
+        return abs(lr - 3e-3)  # best at lr ~= 3e-3
+
+    monkeypatch.setattr(sweep_cli, "run_trial", fake_trial)
+    summary = sweep_cli.main([
+        "--n-trials", "12", "--metric", "val/loss", "--direction", "minimize",
+        "--param", "model.optimizer.lr=interval(1e-5, 1e-1)",
+        "--out-dir", str(tmp_path / "sweep"),
+        "trainer.max_epochs=1",
+    ])
+    assert len(calls) == 12
+    assert all("trainer.max_epochs=1" in c for c in calls)
+    assert (tmp_path / "sweep" / "trials.csv").exists()
+    assert (tmp_path / "sweep" / "best.json").exists()
+    lr = summary["best_params"]["model.optimizer.lr"]
+    assert 1e-5 <= lr <= 1e-1
+    # grid sampler over a discrete axis
+    summary2 = sweep_cli.main([
+        "--sampler", "grid", "--n-trials", "10", "--metric", "val/loss",
+        "--param", "model.optimizer.lr=choice(0.001, 0.003, 0.01)",
+        "--out-dir", str(tmp_path / "sweep2")])
+    assert float(summary2["best_params"]["model.optimizer.lr"]) == 0.003
+
+
+def test_experiment_and_debug_config_groups():
+    """experiment=/debug= override files merge at the config ROOT
+    (`_global_: true` == Hydra's `@package _global_`; reference
+    configs/experiment/example.yaml, configs/debug/default.yaml)."""
+    from str2str_tpu.config.core import load_config
+
+    cfg = load_config("train", ["experiment=example"])
+    assert cfg.seed == 12345
+    assert cfg.data.batch_size == 4
+    assert cfg.trainer.ckpt_every_n_epochs == 10
+    # non-overridden keys survive
+    assert cfg.model.net.node_embed_size == 256
+
+    cfg2 = load_config("train", ["debug=default"])
+    assert cfg2.trainer.detect_anomaly is True
+    assert cfg2.trainer.max_steps == 10
