@@ -27,7 +27,13 @@ constexpr int kMaxAtoms = 64;  // >= atom vocabulary size (37)
 
 std::unordered_map<std::string, int> g_atom_order;
 std::unordered_map<std::string, int> g_res_order;  // 3-letter -> aatype
+std::vector<std::string> g_atom_names;             // index -> atom name
+std::vector<std::string> g_res_names;              // aatype -> 3-letter code
 int g_unk_aatype = 20;
+
+constexpr char kChainIds[] =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789";
+constexpr int kMaxChains = 62;
 
 inline std::string strip(const char* s, int n) {
   int b = 0, e = n;
@@ -103,15 +109,19 @@ void pdb_set_tables(const char* atom_names, int n_atoms,
                     const char* res_names3, const int32_t* aatypes, int n_res,
                     int unk_aatype) {
   g_atom_order.clear();
+  g_atom_names.clear();
   const char* p = atom_names;
   for (int i = 0; i < n_atoms; ++i) {
     g_atom_order[std::string(p)] = i;
+    g_atom_names.emplace_back(p);
     p += std::strlen(p) + 1;
   }
   g_res_order.clear();
+  g_res_names.assign(n_res + 1, "UNK");
   p = res_names3;
   for (int i = 0; i < n_res; ++i) {
     g_res_order[std::string(p)] = aatypes[i];
+    if (aatypes[i] >= 0 && aatypes[i] <= n_res) g_res_names[aatypes[i]] = p;
     p += std::strlen(p) + 1;
   }
   g_unk_aatype = unk_aatype;
@@ -237,6 +247,81 @@ int64_t pdb_parse(const char* text, int64_t len, int64_t n_models,
   });
   flush();
   return model;
+}
+
+
+// ---------------------------------------------------------------------------
+// Fast multi-model PDB WRITER (inverse of the parser above). Formats atom37
+// ensembles into fixed-column ATOM records with the exact layout of the
+// Python writer (io/protein.py:to_pdb): MODEL/TER/ENDMDL/END framing,
+// serial numbering restarting per model, chain TER breaks.
+//
+//   pdb_write_size(...)  -- upper bound on output bytes
+//   pdb_write(...)       -- fill caller buffer, returns bytes written
+
+int64_t pdb_write_size(int64_t n_models, int64_t n_res, int64_t n_atoms37) {
+  // 81 bytes per ATOM/TER line + model framing, with slack.
+  return n_models * (n_res * (n_atoms37 + 2) * 81 + 64) + 64;
+}
+
+int64_t pdb_write(const float* positions,  // (M, L, A, 3)
+                  const float* mask,       // (L, A)
+                  const int32_t* aatype,   // (L,)
+                  const int32_t* res_index,  // (L,)
+                  const int32_t* chain_index,  // (L,)
+                  const float* bfactors,   // (L, A)
+                  int64_t n_models, int64_t n_res, int64_t n_atoms,
+                  int force_multi, char* out, int64_t capacity) {
+  char* w = out;
+  char* cap = out + capacity - 96;
+  const bool multi = force_multi || n_models > 1;
+  for (int64_t m = 0; m < n_models; ++m) {
+    if (w > cap) return -1;
+    if (multi) w += std::snprintf(w, 32, "MODEL     %4d\n", (int)(m + 1));
+    int serial = 1;
+    char prev_chain = 0;
+    const char* name3 = "UNK";
+    for (int64_t i = 0; i < n_res; ++i) {
+      int rt = aatype[i];
+      name3 = (rt >= 0 && rt < (int)g_res_names.size() - 1)
+                  ? g_res_names[rt].c_str() : "UNK";
+      char cid = kChainIds[chain_index[i] % kMaxChains];
+      if (prev_chain != 0 && cid != prev_chain) {
+        if (w > cap) return -1;
+        w += std::snprintf(w, 40, "TER   %5d      %s %c\n", serial,
+                           name3, prev_chain);
+        ++serial;
+      }
+      prev_chain = cid;
+      const float* pos_row = positions + ((m * n_res + i) * n_atoms) * 3;
+      const float* mask_row = mask + i * n_atoms;
+      const float* b_row = bfactors + i * n_atoms;
+      for (int64_t j = 0; j < n_atoms; ++j) {
+        if (mask_row[j] < 0.5f) continue;
+        if (w > cap) return -1;
+        const std::string& an = g_atom_names[j];
+        char name_field[6];
+        if (an.size() == 4) {
+          std::snprintf(name_field, 6, "%s", an.c_str());
+        } else {
+          std::snprintf(name_field, 6, " %-3s", an.c_str());
+        }
+        w += std::snprintf(
+            w, 96, "ATOM  %5d %s %s %c%4d    %8.3f%8.3f%8.3f%6.2f%6.2f"
+            "          %2c\n",
+            serial, name_field, name3, cid, res_index[i],
+            pos_row[j * 3], pos_row[j * 3 + 1], pos_row[j * 3 + 2], 1.0f,
+            b_row[j], an[0]);
+        ++serial;
+      }
+    }
+    if (w > cap) return -1;
+    w += std::snprintf(w, 40, "TER   %5d      %s %c\n", serial, name3,
+                       prev_chain);
+    if (multi) w += std::snprintf(w, 16, "ENDMDL\n");
+  }
+  w += std::snprintf(w, 8, "END\n");
+  return w - out;
 }
 
 }  // extern "C"

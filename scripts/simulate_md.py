@@ -30,8 +30,18 @@ sys.path.insert(0, str(REPO))
 DESRES_TEMPERATURES = {
     "CLN025": 340.0, "2JOF": 290.0, "1FME": 325.0, "2F4K": 360.0,
     "GTT": 360.0, "NTL9": 355.0, "2WAV": 298.0, "PRB": 340.0,
-    "UVF": 370.0, "NuG2": 350.0, "A3D": 370.0, "lambda": 350.0,
+    "UVF": 360.0, "NuG2": 350.0, "A3D": 370.0, "lambda": 350.0,
     "bpti": 300.0,
+}
+
+# Published aggregate simulation times (microseconds) per target from the
+# same paper (reference simulate.py:35-48) — the trajectory lengths behind
+# the JS-metric reference ensembles. Used to report coverage and for
+# --desres-fraction scaling of the production run.
+DESRES_SIMULATION_TIME_US = {
+    "CLN025": 106, "2JOF": 208, "1FME": 325, "2F4K": 125,
+    "GTT": 1137, "NTL9": 2936, "2WAV": 429, "PRB": 104,
+    "UVF": 327, "NuG2": 1155, "A3D": 707, "lambda": 643,
 }
 
 
@@ -138,13 +148,29 @@ def main(argv=None):
     g.add_argument("--enhance", help="sampled ensemble to enhance with short MD")
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--temperature", type=float, default=None)
-    ap.add_argument("--production-ns", type=float, default=100.0)
+    ap.add_argument("--production-ns", type=float, default=None,
+                    help="production length; default 100 ns, or "
+                         "--desres-fraction of the published duration")
+    ap.add_argument("--desres-fraction", type=float, default=None,
+                    help="run this fraction of the target's published "
+                         "DESRES aggregate time (e.g. 1e-4 of 106 us)")
     ap.add_argument("--per-conformer-ps", type=float, default=100.0)
     ap.add_argument("--implicit-solvent", action="store_true")
     args = ap.parse_args(argv)
 
     target = Path(args.pdb or args.enhance).stem
     temp = args.temperature or DESRES_TEMPERATURES.get(target, 300.0)
+    if args.production_ns is None:
+        if args.desres_fraction and target in DESRES_SIMULATION_TIME_US:
+            args.production_ns = (DESRES_SIMULATION_TIME_US[target]
+                                  * 1000.0 * args.desres_fraction)
+        else:
+            args.production_ns = 100.0
+    if target in DESRES_SIMULATION_TIME_US:
+        print(f"[{target}] DESRES reference: "
+              f"{DESRES_SIMULATION_TIME_US[target]} us at "
+              f"{DESRES_TEMPERATURES[target]} K; running "
+              f"{args.production_ns} ns at {temp} K")
     if args.pdb:
         run_md(args.pdb, args.output_dir, temp, args.production_ns,
                implicit_solvent=args.implicit_solvent)

@@ -23,10 +23,12 @@ from ..training.losses import loss_config_from
 from ..training.trainer import TrainConfig, Trainer
 from ..utils.logging import get_logger
 from ..utils.metrics_logger import build_loggers
+from ..utils.task import finalize_on_exit, set_crash_dir, task_wrapper
 
 log = get_logger(__name__)
 
 
+@task_wrapper
 def main(argv=None):
     from ..utils.jax_setup import setup as _jax_setup
     _jax_setup()
@@ -87,6 +89,8 @@ def main(argv=None):
         log_dir=str(cfg.paths.log_dir),
         ckpt_dir=str(Path(str(cfg.paths.output_dir)) / "ckpt"),
         loggers=build_loggers(cfg))
+    set_crash_dir(str(cfg.paths.log_dir))
+    finalize_on_exit(trainer.loggers)
 
     # Initialize params from the first batch's shapes.
     import jax

@@ -62,6 +62,15 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64] + [ctypes.POINTER(ctypes.c_float)] * 3 + [
         ctypes.POINTER(ctypes.c_int32)] * 3
     lib.pdb_parse.restype = ctypes.c_int64
+    lib.pdb_write_size.argtypes = [ctypes.c_int64] * 3
+    lib.pdb_write_size.restype = ctypes.c_int64
+    lib.pdb_write.argtypes = (
+        [ctypes.POINTER(ctypes.c_float)] * 2
+        + [ctypes.POINTER(ctypes.c_int32)] * 3
+        + [ctypes.POINTER(ctypes.c_float)]
+        + [ctypes.c_int64] * 3 + [ctypes.c_int]
+        + [ctypes.c_char_p, ctypes.c_int64])
+    lib.pdb_write.restype = ctypes.c_int64
 
     atom_names = b"\0".join(a.encode() for a in ch.atom_types) + b"\0"
     res3 = [ch.restype_1to3[r] for r in ch.restypes]
@@ -122,3 +131,36 @@ def parse_pdb_ensemble(text: str, max_models: Optional[int] = None):
         "residue_index": res_index,
         "chain_index": chain_index,
     }
+
+
+def write_pdb_ensemble(positions, mask, aatype, residue_index, chain_index,
+                       b_factors, force_multi: bool = False) -> Optional[str]:
+    """Format an atom37 ensemble as multi-model PDB text natively.
+
+    positions (M, L, 37, 3) f32; mask/b_factors (L, 37) f32;
+    aatype/residue_index/chain_index (L,) i32. Returns None when the native
+    library is unavailable (caller falls back to the Python writer)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    positions = np.ascontiguousarray(positions, np.float32)
+    mask = np.ascontiguousarray(mask, np.float32)
+    b_factors = np.ascontiguousarray(b_factors, np.float32)
+    aatype = np.ascontiguousarray(aatype, np.int32)
+    residue_index = np.ascontiguousarray(residue_index, np.int32)
+    chain_index = np.ascontiguousarray(chain_index, np.int32)
+    M, L, A = positions.shape[:3]
+    cap = int(lib.pdb_write_size(M, L, int(mask.sum()) // max(L, 1) + 2))
+    cap = max(cap, int(M * (mask.sum() + 2 * L + 2) * 96 + 256))
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.pdb_write(
+        positions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        aatype.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        residue_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        chain_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b_factors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        M, L, A, 1 if force_multi else 0, buf, cap)
+    if n <= 0:
+        return None
+    return buf.raw[:n].decode()

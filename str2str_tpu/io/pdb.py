@@ -52,7 +52,19 @@ def atom37_to_pdb(atom_positions: np.ndarray, save_to: str,
                        else np.zeros((L, ch.atom_type_num), np.float32)),
         ))
     Path(save_to).parent.mkdir(parents=True, exist_ok=True)
-    Path(save_to).write_text(prot_io.to_pdb(models))
+
+    # Native fast path for large ensembles with a shared mask (the common
+    # sampler/trajectory case); the Python writer handles the rest.
+    from . import native
+    text = None
+    if atom_mask is not None and B > 1:
+        text = native.write_pdb_ensemble(
+            pos, models[0].atom_mask, models[0].aatype,
+            models[0].residue_index, models[0].chain_index,
+            models[0].b_factors) if native.is_available() else None
+    if text is None:
+        text = prot_io.to_pdb(models)
+    Path(save_to).write_text(text)
     return str(save_to)
 
 
@@ -118,6 +130,16 @@ def extract_backbone_coords(path: str, atoms: Sequence[str] = ("CA",),
         return sel.reshape(sel.shape[0], -1, 3)
 
     models = prot_io.parse_pdb_models(text, max_models=max_models)
+    # Same contract as the native path (which refuses inconsistent models):
+    # every model must carry the same residues as model 0, else the model-0
+    # mask would silently mis-select coordinates.
+    for mi, m in enumerate(models[1:], start=1):
+        if (m.num_residues != models[0].num_residues
+                or not np.array_equal(m.residue_index,
+                                      models[0].residue_index)):
+            raise ValueError(
+                f"inconsistent multi-model PDB {path!r}: model {mi} has "
+                f"different residues than model 0")
     keep = np.all(models[0].atom_mask[:, idx] > 0.5, axis=-1)
     coords = []
     for m in models:

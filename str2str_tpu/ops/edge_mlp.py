@@ -31,7 +31,9 @@ try:  # the TPU backend may be absent on CPU-only hosts
 except Exception:  # pragma: no cover
     pltpu = None
 
-DEFAULT_ROW_BLOCK = 8
+# 16 measured fastest at B=8 L=256 bf16 (1.99 ms vs 2.08 at 8; 32 exceeds
+# the scoped-VMEM limit).
+DEFAULT_ROW_BLOCK = 16
 
 
 def is_supported() -> bool:

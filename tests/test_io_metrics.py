@@ -162,3 +162,29 @@ def test_tica_regression_goldens():
         [[0.03594144, 0.07993717],
          [0.0807883, 0.038529],
          [-0.0701778, 0.08437752]])), atol=1e-5)
+
+
+def test_extract_backbone_rejects_inconsistent_models(tmp_path, fixture_pdb):
+    """Python fallback must match the native parser's contract: refuse
+    multi-model files whose models carry different residues (previously it
+    silently mis-selected coordinates with the model-0 mask)."""
+    from str2str_tpu.io import pdb as pdb_io
+    from str2str_tpu.io import protein as prot_io
+
+    prot = prot_io.from_pdb_string(fixture_pdb.read_text())
+    # model 2 drops the first residue -> inconsistent
+    import dataclasses
+    short = dataclasses.replace(
+        prot,
+        atom_positions=prot.atom_positions[1:],
+        atom_mask=prot.atom_mask[1:], aatype=prot.aatype[1:],
+        residue_index=prot.residue_index[1:],
+        chain_index=prot.chain_index[1:], b_factors=prot.b_factors[1:])
+    bad = tmp_path / "bad.pdb"
+    bad.write_text(prot_io.to_pdb([prot, short]))
+
+    from unittest import mock
+    from str2str_tpu.io import native
+    with mock.patch.object(native, "is_available", lambda: False):
+        with pytest.raises(ValueError, match="inconsistent"):
+            pdb_io.extract_backbone_coords(str(bad))

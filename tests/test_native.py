@@ -80,3 +80,42 @@ def test_native_speedup(ensemble_text):
     prot_io.parse_pdb_models(ensemble_text)
     t_python = time.perf_counter() - t0
     assert t_native < t_python, (t_native, t_python)
+
+
+def test_native_writer_matches_python(tmp_path, fixture_pdb, rng):
+    """Native multi-model PDB writer == Python writer (same text modulo
+    float-rounding ties; verified by re-parsing both)."""
+    from str2str_tpu.io import native
+    from str2str_tpu.io import protein as prot_io
+
+    if not native.is_available():
+        pytest.skip("no native toolchain")
+
+    prot = prot_io.from_pdb_string(fixture_pdb.read_text())
+    M = 4
+    pos = np.stack([prot.atom_positions + i * 0.25 for i in range(M)])
+
+    models = [prot_io.Protein(pos[i], prot.atom_mask, prot.aatype,
+                              prot.residue_index, prot.chain_index,
+                              prot.b_factors) for i in range(M)]
+    py_text = prot_io.to_pdb(models)
+    nat_text = native.write_pdb_ensemble(
+        pos, prot.atom_mask, prot.aatype, prot.residue_index,
+        prot.chain_index, prot.b_factors)
+    assert nat_text is not None
+    # byte-identical framing and fields (printf/format agree on these values)
+    assert nat_text == py_text
+
+    # and through atom37_to_pdb the native path round-trips
+    from str2str_tpu.io import pdb as pdb_io
+    out = tmp_path / "ens.pdb"
+    pdb_io.atom37_to_pdb(pos, str(out), aatype=prot.aatype,
+                         residue_index=prot.residue_index,
+                         chain_index=prot.chain_index,
+                         atom_mask=prot.atom_mask,
+                         b_factors=prot.b_factors)
+    parsed = prot_io.parse_pdb_models(out.read_text())
+    assert len(parsed) == M
+    np.testing.assert_allclose(
+        parsed[3].atom_positions[prot.atom_mask > 0.5],
+        pos[3][prot.atom_mask > 0.5], atol=1e-3)

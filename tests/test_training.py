@@ -365,3 +365,61 @@ def test_logger_backends(tmp_path):
     multi.log_metrics(row)
     multi.finalize()
     assert (tmp_path / "multi" / "metrics.csv").exists()
+
+
+def test_task_wrapper_logs_crash_and_finalizes(tmp_path):
+    """Crash-handling entry wrapper (reference task_wrapper, utils.py:43-95):
+    writes a crash.log and still finalizes registered loggers."""
+    from str2str_tpu.utils.task import (finalize_on_exit, set_crash_dir,
+                                        task_wrapper)
+
+    finalized = []
+
+    class L:
+        def finalize(self):
+            finalized.append(True)
+
+    @task_wrapper
+    def boom():
+        set_crash_dir(str(tmp_path))
+        finalize_on_exit(L())
+        raise RuntimeError("kaboom")
+
+    with pytest.raises(RuntimeError):
+        boom()
+    assert finalized == [True]
+    assert "kaboom" in (tmp_path / "crash.log").read_text()
+
+
+def test_prefetch_loader_overlaps_io(rng):
+    """The thread-pool loader takes featurization off the consumer's
+    critical path: an epoch over a slow dataset must finish in well under
+    the serial time (VERDICT: 'loader no longer on the step critical
+    path, timed')."""
+    import time
+    from str2str_tpu.data.dataset import BucketedLoader
+
+    DELAY, N = 0.05, 12
+
+    class SlowDS:
+        def __getitem__(self, i):
+            time.sleep(DELAY)
+            return {"aatype": np.zeros(8, np.int32),
+                    "residue_mask": np.ones(8, np.float32),
+                    "accession_code": f"x{i}"}
+
+    def consume(loader):
+        t0 = time.perf_counter()
+        n = sum(1 for _ in loader)
+        return time.perf_counter() - t0, n
+
+    ds = SlowDS()
+    t_serial, n1 = consume(BucketedLoader(ds, range(N), batch_size=4,
+                                          buckets=(8,), shuffle=False))
+    t_par, n2 = consume(BucketedLoader(ds, range(N), batch_size=4,
+                                       buckets=(8,), shuffle=False,
+                                       num_workers=4))
+    assert n1 == n2 == 3
+    assert t_serial >= N * DELAY * 0.95
+    # 4 workers: expect close to N/4 * DELAY; allow generous slack
+    assert t_par < t_serial * 0.5, (t_serial, t_par)
