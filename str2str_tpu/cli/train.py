@@ -82,6 +82,7 @@ def main(argv=None):
             ckpt_every_n_epochs=tr.get("ckpt_every_n_epochs", 1),
             keep_ckpts=tr.get("keep_ckpts", 3),
             gradient_accumulation=tr.get("gradient_accumulation", 1),
+            use_fused_kernels=tr.get("use_fused_kernels", False),
             early_stopping_patience=tr.get("early_stopping_patience", -1),
             save_best=tr.get("save_best", True),
             detect_anomaly=tr.get("detect_anomaly", False),
@@ -91,6 +92,8 @@ def main(argv=None):
         loggers=build_loggers(cfg))
     set_crash_dir(str(cfg.paths.log_dir))
     finalize_on_exit(trainer.loggers)
+    from ..config.core import dump_config_tree
+    dump_config_tree(cfg, str(cfg.paths.log_dir))
 
     # Initialize params from the first batch's shapes.
     import jax

@@ -216,3 +216,28 @@ def parse_cli(argv: List[str]) -> tuple[str | None, List[str]]:
         else:
             overrides.append(a)
     return name, overrides
+
+
+def format_config_tree(cfg: Config, indent: int = 0) -> str:
+    """Plain-text config tree dump (reference rich_utils.print_config_tree,
+    rich_utils.py:18-75 — written to config_tree.log by the entry points)."""
+    lines = []
+    pad = "  " * indent
+    for key in sorted(cfg.keys()):
+        val = cfg[key]
+        if isinstance(val, dict):
+            lines.append(f"{pad}{key}:")
+            lines.append(format_config_tree(Config(val), indent + 1))
+        else:
+            lines.append(f"{pad}{key}: {val!r}")
+    return "\n".join(l for l in lines if l)
+
+
+def dump_config_tree(cfg: Config, out_dir: str) -> None:
+    from pathlib import Path as _P
+    d = _P(out_dir)
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "config_tree.log").write_text(format_config_tree(cfg) + "\n")
+    except OSError:
+        pass

@@ -170,9 +170,11 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
     qb = query_block or _pick_query_block(
         Qtot, L, H, C, Pq, Pv, Cdz, jnp.dtype(dt).itemsize)
     if qb is None or (query_block and Qtot % query_block):
-        return ipa_attention_reference(
+        # Normalize the fallback to the kernel's output dtype so callers
+        # (and the custom_vjp machinery) see one contract either way.
+        return tuple(t.astype(dt) for t in ipa_attention_reference(
             q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
-            head_weights, mask, inf=inf)
+            head_weights, mask, inf=inf))
 
     # ---- host-side (XLA) prep: head-major layouts + folded scalings -------
     scale_qk = math.sqrt(1.0 / (3 * C))
@@ -193,18 +195,23 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
     kcorr = -0.5 * w[None, :, None] * jnp.sum(kf * kf, axis=-1)  # (B, H, L)
     kadd = kcorr + (inf * (mask.astype(jnp.float32) - 1.0))[:, None, :]
 
-    ones_q = jnp.ones((B, H, Qtot, 1), jnp.float32)
+    # Cast every piece to the compute dtype BEFORE concatenating, so XLA
+    # assembles the (D+2)-wide operands without fp32 intermediates (halves
+    # the prep traffic at bf16).
+    ones_q = jnp.ones((B, H, Qtot, 1), dt)
     qhat = jnp.concatenate(
-        [qh.astype(jnp.float32) * scale_qk, qf * s_h[:, None, None],
-         qcorr[..., None], ones_q],
-        axis=-1).astype(dt)                               # (B, H, Qtot, D+2)
-    ones_k = jnp.ones((B, H, 1, L), jnp.float32)
+        [(qh.astype(jnp.float32) * scale_qk).astype(dt),
+         (qf * s_h[:, None, None]).astype(dt),
+         qcorr[..., None].astype(dt), ones_q],
+        axis=-1)                                          # (B, H, Qtot, D+2)
+    ones_k = jnp.ones((B, H, 1, L), dt)
     khat = jnp.concatenate(
         [jnp.concatenate(
-            [heads(k, C).astype(jnp.float32), kf * s_h[:, None, None]],
+            [heads(k, C).astype(dt),
+             (kf * s_h[:, None, None]).astype(dt)],
             axis=-1).transpose(0, 1, 3, 2),
-         ones_k, kadd[:, :, None, :]],
-        axis=2).astype(dt)                                # (B, H, D+2, L)
+         ones_k, kadd[:, :, None, :].astype(dt)],
+        axis=2)                                           # (B, H, D+2, L)
     v4 = heads(v, C)                                      # (B, H, L, C)
     vf4 = heads(v_pts, 3 * Pv).transpose(0, 1, 3, 2)      # (B, H, 3Pv, L)
 
@@ -317,7 +324,17 @@ def _ipa_fwd(*args):
 
 
 def _ipa_bwd(args, cts):
-    _, vjp = jax.vjp(lambda *a: ipa_attention_reference(*a), *args)
+    # The oracle promotes its outputs to fp32 when the point tensors are
+    # fp32 (mixed bf16/fp32 module inputs); the kernel always emits q.dtype.
+    # Normalize the oracle to the kernel's output dtypes so the cotangents
+    # line up.
+    dt = args[0].dtype
+
+    def oracle(*a):
+        o, opt, opair = ipa_attention_reference(*a)
+        return o.astype(dt), opt.astype(dt), opair.astype(dt)
+
+    _, vjp = jax.vjp(oracle, *args)
     return vjp(cts)
 
 

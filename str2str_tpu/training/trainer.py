@@ -60,6 +60,13 @@ class TrainConfig:
     # Keep a `best/` checkpoint tracking the lowest val/loss (reference
     # ModelCheckpoint monitor=val/loss, configs/callbacks/default.yaml:8-15).
     save_best: bool = True
+    # Train through the fused Pallas kernels (custom_vjp forwards). The
+    # backwards differentiate the XLA oracle, which re-runs the oracle
+    # forward inside the VJP — measured 1.6x SLOWER per train step at
+    # B=8 L=256 bf16 than the plain XLA path (6.6 -> 10.5 s/step through
+    # the dev tunnel), so training defaults to XLA until hand-written
+    # backward kernels land. Inference always uses the fused kernels.
+    use_fused_kernels: bool = False
     detect_anomaly: bool = False
     profile_dir: str = ""
     self_conditioning_prob: float = 0.5
@@ -104,8 +111,16 @@ class Trainer:
     def __init__(self, net, diffuser: SE3Diffusion, loss_cfg: LossConfig,
                  cfg: TrainConfig = TrainConfig(), log_dir: str = "outputs/logs",
                  ckpt_dir: str = "outputs/ckpt", loggers=None):
-        # The fused Pallas kernels are custom_vjps (XLA-oracle backward), so
-        # training runs the fused forward paths as-is.
+        # The fused Pallas kernels are custom_vjps (XLA-oracle backward) and
+        # CAN train, but the oracle-recompute backward makes that a net
+        # slowdown (see TrainConfig.use_fused_kernels); default to XLA.
+        if not cfg.use_fused_kernels:
+            from dataclasses import replace as _dc_replace
+            from ..model.network import ScoreNetwork as _SN
+            if isinstance(net, _SN) and (net.cfg.use_pallas != "off"
+                                         or net.cfg.use_pallas_ipa != "off"):
+                net = _SN(_dc_replace(net.cfg, use_pallas="off",
+                                      use_pallas_ipa="off"))
         self.net = net
         self.diffuser = diffuser
         self.loss_cfg = loss_cfg

@@ -204,3 +204,31 @@ def test_ipa_grads_match_between_paths(rng):
     for a, b in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_on)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=3e-4)
+
+
+def test_ipa_grads_bf16_mixed_inputs(rng):
+    """Regression: in bf16 mode the module passes fp32 point tensors with
+    bf16 scalar q/k/v; the custom_vjp backward must handle the oracle's
+    promoted output dtypes (crashed with a cotangent dtype mismatch)."""
+    from str2str_tpu.ops import ipa_attention as IA
+
+    B, L, H, C, Pq, Pv, Cz = 1, 16, 4, 16, 4, 6, 24
+
+    def r(*s, dt=jnp.float32, sc=0.5):
+        return jnp.asarray(rng.randn(*s) * sc, dt)
+
+    bf = jnp.bfloat16
+    args = (r(B, L, H * C, dt=bf), r(B, L, H * C, dt=bf), r(B, L, H * C, dt=bf),
+            r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pv),
+            r(B, L, L, Cz, dt=bf), r(Cz, H), r(H, sc=0.1), r(Cz, Cz // 4),
+            r(Cz // 4, sc=0.1), jnp.abs(r(H)) + 0.5, jnp.ones((B, L)))
+
+    def loss(q):
+        with _interpret_ctx():
+            o, opt, opair = IA.ipa_attention(q, *args[1:])
+        return (jnp.sum(o.astype(jnp.float32) ** 2)
+                + jnp.sum(opt.astype(jnp.float32) ** 2)
+                + jnp.sum(opair.astype(jnp.float32) ** 2))
+
+    g = jax.grad(loss)(args[0])
+    assert np.isfinite(np.asarray(g, np.float32)).all()
