@@ -80,6 +80,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch of stacked micro-batches (K, B, ...) with the
+    SECOND axis sharded over the data mesh (the leading K axis is scanned
+    on-device by Trainer.train_steps_scan)."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return {k: (jax.device_put(v, sh) if hasattr(v, "shape")
+                and getattr(v, "ndim", 0) > 1 else v)
+            for k, v in batch.items()}
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch with its leading axis sharded over the mesh."""
     sh = batch_sharding(mesh)

@@ -67,6 +67,10 @@ class TrainConfig:
     # the dev tunnel), so training defaults to XLA until hand-written
     # backward kernels land. Inference always uses the fused kernels.
     use_fused_kernels: bool = False
+    # Train steps executed per host dispatch: same-shape batches are
+    # stacked and scanned on-device (lax.scan), amortizing the per-call
+    # pytree marshalling / dispatch latency. 1 = classic per-step loop.
+    steps_per_call: int = 1
     detect_anomaly: bool = False
     profile_dir: str = ""
     self_conditioning_prob: float = 0.5
@@ -218,8 +222,27 @@ class Trainer:
         loss, breakdown = self.model_step(params, key, batch, deterministic=True)
         return breakdown
 
+    def _train_steps_scan(self, params, opt_state, key, batches):
+        """K train steps in ONE dispatch: lax.scan over stacked batches
+        (leading axis K). Amortizes per-call host/dispatch latency — one
+        params-pytree marshal per K steps instead of per step — and keeps
+        the device busy back-to-back (the Lightning loop dispatches per
+        step). Metrics come back stacked (K, ...)."""
+        def body(carry, batch_k):
+            params, opt_state, key = carry
+            key, k_step = jax.random.split(key)
+            params, opt_state, metrics = self._train_step(
+                params, opt_state, k_step, batch_k)
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            body, (params, opt_state, key), batches)
+        return params, opt_state, metrics
+
     def compile(self):
         self.train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+        self.train_steps_scan = jax.jit(self._train_steps_scan,
+                                        donate_argnums=(0, 1))
         self.eval_step = jax.jit(self._eval_step)
 
     # ------------------------------------------------------------------
@@ -268,24 +291,63 @@ class Trainer:
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             train_metrics = []
-            for batch in train_loader:
-                batch = mesh_lib.shard_batch(
-                    {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
-                    self.mesh)
+            # With steps_per_call > 1, buffer same-shape batches and run K
+            # steps per dispatch (one params marshal + back-to-back device
+            # steps instead of one host round trip per step).
+            K = max(1, cfg.steps_per_call)
+            pending: Dict[tuple, list] = {}
+            profiling = [False]
+
+            def run_steps(host_batches):
+                nonlocal params, opt_state, step, key
                 key, k_step = jax.random.split(key)
-                if cfg.profile_dir and step == 2:
+                if cfg.profile_dir and step == 2 and not profiling[0]:
                     jax.profiler.start_trace(cfg.profile_dir)
-                params, opt_state, metrics = self.train_step(
-                    params, opt_state, k_step, batch)
-                step += 1
-                if cfg.profile_dir and step == 6:
-                    jax.tree.map(lambda x: x.block_until_ready(),
-                                 metrics)
+                    profiling[0] = True
+                if len(host_batches) == 1:
+                    sharded = mesh_lib.shard_batch(host_batches[0], self.mesh)
+                    params, opt_state, metrics = self.train_step(
+                        params, opt_state, k_step, sharded)
+                    rows = [metrics]
+                else:
+                    stacked = {k: np.stack([b[k] for b in host_batches])
+                               for k in host_batches[0]}
+                    sharded = mesh_lib.shard_stacked_batch(stacked, self.mesh)
+                    params, opt_state, metrics = self.train_steps_scan(
+                        params, opt_state, k_step, sharded)
+                    n = len(host_batches)
+                    rows = [jax.tree.map(lambda x, i=i: x[i], metrics)
+                            for i in range(n)]
+                for m in rows:
+                    step += 1
+                    if step % cfg.log_every_n_steps == 0:
+                        train_metrics.append(
+                            {k: float(v) for k, v in m.items()})
+                if cfg.profile_dir and profiling[0] and step >= 6:
+                    jax.tree.map(lambda x: x.block_until_ready(), rows[-1])
                     jax.profiler.stop_trace()
-                if step % cfg.log_every_n_steps == 0:
-                    train_metrics.append({k: float(v) for k, v in metrics.items()})
+                    profiling[0] = False
+
+            for batch in train_loader:
+                host = {k: v for k, v in batch.items()
+                        if isinstance(v, np.ndarray)}
+                if K == 1:
+                    run_steps([host])
+                else:
+                    shape_key = tuple(sorted(
+                        (k, v.shape) for k, v in host.items()))
+                    pending.setdefault(shape_key, []).append(host)
+                    if len(pending[shape_key]) == K:
+                        run_steps(pending.pop(shape_key))
                 if 0 < cfg.max_steps <= step:
                     break
+            # Leftover partial groups run per-step (avoids compiling a scan
+            # for every residual group size).
+            for group in pending.values():
+                for b in group:
+                    if 0 < cfg.max_steps <= step:
+                        break
+                    run_steps([b])
 
             row = {"epoch": epoch, "step": step, "lr": lr,
                    "epoch_time_s": round(time.time() - t0, 2)}

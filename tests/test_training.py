@@ -423,3 +423,37 @@ def test_prefetch_loader_overlaps_io(rng):
     assert t_serial >= N * DELAY * 0.95
     # 4 workers: expect close to N/4 * DELAY; allow generous slack
     assert t_par < t_serial * 0.5, (t_serial, t_par)
+
+
+def test_steps_per_call_scan(rng):
+    """steps_per_call > 1 groups same-shape batches into one on-device
+    lax.scan dispatch; step counts and metrics must come out right, and
+    mixed bucket shapes must still train (residuals run per-step)."""
+    net, _ = _tiny_setup()
+    from str2str_tpu.diffusion.r3 import R3Config, R3Diffusion
+    from str2str_tpu.diffusion.se3 import SE3Diffusion
+    from str2str_tpu.diffusion.so3 import SO3Config, SO3Diffusion
+    import tempfile
+
+    diffuser = SE3Diffusion(
+        trans=R3Diffusion(R3Config(coordinate_scaling=0.1)),
+        rotation=SO3Diffusion(SO3Config(num_sigma=20, num_omega=50,
+                                        n_terms=100,
+                                        cache_dir=tempfile.mkdtemp())),
+        min_t=1e-2)
+    import tempfile as tf
+    d = tf.mkdtemp()
+    trainer = Trainer(net, diffuser, LossConfig(),
+                      TrainConfig(lr=5e-4, num_devices=1, seed=0,
+                                  max_epochs=1, steps_per_call=2,
+                                  log_every_n_steps=1),
+                      log_dir=d + "/logs", ckpt_dir=d + "/ckpt")
+    # 5 batches: three at L=16, two at L=24 -> one scan pair per shape
+    # + one residual single-step call.
+    batches = ([_batch(rng, B=2, L=16) for _ in range(3)]
+               + [_batch(rng, B=2, L=24) for _ in range(2)])
+    params = _init_params(net, batches[0])
+    r = trainer.fit(params, batches)
+    assert r["step"] == 5
+    row = r["history"][0]
+    assert np.isfinite(row["train/loss"])
