@@ -109,9 +109,25 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--param", action="append", default=[],
                     help="search-space spec key=interval(..)|choice(..)|range(..)")
+    ap.add_argument("--from-config", default=None,
+                    help="load metric/direction/n_trials/sampler/params from "
+                         "a hparams_search config (e.g. 'random')")
     ap.add_argument("--out-dir", default="outputs/sweep")
     ap.add_argument("fixed", nargs="*", help="fixed config overrides")
     args = ap.parse_args(argv)
+
+    if args.from_config:
+        import yaml
+        from ..config.core import DEFAULT_CONFIG_DIR
+        sc = yaml.safe_load(
+            (DEFAULT_CONFIG_DIR / "hparams_search"
+             / f"{args.from_config}.yaml").read_text())
+        args.metric = sc.get("metric", args.metric)
+        args.direction = sc.get("direction", args.direction)
+        args.n_trials = int(sc.get("n_trials", args.n_trials))
+        args.sampler = sc.get("sampler", args.sampler)
+        args.param = (args.param
+                      + [f"{k}={v}" for k, v in (sc.get("params") or {}).items()])
 
     space = parse_space(args.param)
     rng = np.random.RandomState(args.seed)

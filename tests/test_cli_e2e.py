@@ -148,3 +148,26 @@ def test_experiment_and_debug_config_groups():
     cfg2 = load_config("train", ["debug=default"])
     assert cfg2.trainer.detect_anomaly is True
     assert cfg2.trainer.max_steps == 10
+
+
+def test_sweep_from_config(tmp_path, monkeypatch):
+    """--from-config loads the hparams_search group (reference
+    configs/hparams_search surface)."""
+    from str2str_tpu.cli import sweep as sweep_cli
+
+    calls = []
+    monkeypatch.setattr(sweep_cli, "run_trial",
+                        lambda ov, m: float(len(calls) or calls.append(ov) or 1))
+    summary = sweep_cli.main(["--from-config", "random", "--n-trials", "3",
+                              "--out-dir", str(tmp_path)])
+    assert summary["metric"] == "val/loss"
+    assert (tmp_path / "trials.csv").exists()
+
+
+def test_config_tree_dump(tmp_path):
+    from str2str_tpu.config.core import dump_config_tree, load_config
+
+    cfg = load_config("train", [])
+    dump_config_tree(cfg, str(tmp_path))
+    text = (tmp_path / "config_tree.log").read_text()
+    assert "model:" in text and "node_embed_size: 256" in text
