@@ -31,6 +31,7 @@ def build_network(cfg: Config) -> ScoreNetwork:
         dropout=n.dropout, dtype=n.dtype,
         use_pallas=n.get("use_pallas", "auto"),
         use_pallas_ipa=n.get("use_pallas_ipa", "off"),
+        seq_axis=n.get("seq_axis", "") or "",
     ))
 
 
@@ -54,8 +55,17 @@ def build_diffuser(cfg: Config) -> SE3Diffusion:
 
 def build_sampler(cfg: Config, net=None, diffuser=None) -> Sampler:
     i = cfg.model.inference
+    net = net or build_network(cfg)
+    seq_mesh = None
+    if getattr(net.cfg, "seq_axis", ""):
+        # Long-context mode: the whole anneal runs inside shard_map with the
+        # edge tensors column-sharded over every available device.
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+        seq_mesh = Mesh(_np.array(jax.devices()), (net.cfg.seq_axis,))
     return Sampler(
-        net or build_network(cfg),
+        net,
         diffuser or build_diffuser(cfg),
         SamplerConfig(
             delta_min=i.delta_min, delta_max=i.delta_max, delta_step=i.delta_step,
@@ -64,7 +74,8 @@ def build_sampler(cfg: Config, net=None, diffuser=None) -> Sampler:
             probability_flow=i.probability_flow,
             self_conditioning=i.self_conditioning,
             min_t=i.min_t, backward_only=i.backward_only,
-        ))
+        ),
+        seq_mesh=seq_mesh)
 
 
 def load_params(cfg: Config, net: ScoreNetwork, example_batch=None, rng_seed: int = 0):

@@ -68,6 +68,11 @@ class EdgeEmbedder(nn.Module):
     max_len: int = 2056
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"
+    # Sequence-sharded long-context mode: when set, this module is running
+    # INSIDE shard_map over this mesh axis with replicated inputs, and each
+    # device builds only ITS column shard of the edge embedding
+    # (B, L, L/n_shards, D). See parallel/seq_shard.py.
+    seq_axis: str = ""
 
     @nn.compact
     def __call__(self, t_feats, residue_idx, sc_ca):
@@ -97,10 +102,26 @@ class EdgeEmbedder(nn.Module):
 
         from ..ops import edge_embed as _ee
 
+        if self.seq_axis:
+            # Column-sharded edge embedding: slice this device's key shard
+            # of every column-side input and build the rectangular block.
+            import jax
+            from ..parallel.seq_shard import local_cols
+            sc32 = sc_ca.astype(jnp.float32)
+            col_l, idx_l, sc_l = local_cols(
+                self.seq_axis, col, residue_idx, sc32)
+            return _ee.edge_embed_reference(
+                row, col_l, residue_idx, sc32,
+                krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                min_bin=self.min_bin, max_bin=self.max_bin, num_bins=nb,
+                init_embed_size=pe, max_len=self.max_len,
+                self_conditioning=self_cond,
+                residue_idx_col=idx_l, sc_ca_col=sc_l)
+
         use_pallas = (self.use_pallas == "on"
                       or (self.use_pallas == "auto" and _ee.is_supported()))
         if use_pallas:
-            # custom_vjp: fused Pallas forward, XLA-oracle backward.
+            # custom_vjp: fused Pallas forward, hand-written Pallas backward.
             return _ee.edge_embed(
                 row, col, residue_idx, sc_ca.astype(jnp.float32),
                 krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
@@ -123,6 +144,7 @@ class EmbeddingModule(nn.Module):
     self_conditioning: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"
+    seq_axis: str = ""
 
     @nn.compact
     def __call__(self, residue_idx, t, fixed_mask, sc_ca_t):
@@ -150,6 +172,6 @@ class EmbeddingModule(nn.Module):
             pos_embed_size=self.init_embed_size,
             num_bins=self.num_bins, min_bin=self.min_bin, max_bin=self.max_bin,
             self_conditioning=self.self_conditioning, dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, seq_axis=self.seq_axis,
             name="edge_embed")(t_embed, residue_idx, sc_ca_t.astype(jnp.float32))
         return node_embed, edge_embed

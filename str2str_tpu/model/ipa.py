@@ -59,15 +59,42 @@ class InvariantPointAttention(nn.Module):
     no_v_points: int = 12
     inf: float = 1e5
     eps: float = 1e-8
+    c_z: int = 128
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"
+    # Sequence-sharded long-context mode (inside shard_map): keys/values/z
+    # hold only the local column shard; softmax is made exact with
+    # pmax/psum and outputs combine with one psum each (parallel/seq_shard).
+    seq_axis: str = ""
+
+    def setup(self):
+        # Declared in setup (not compact) so the trunk can fold these into
+        # the PREVIOUS block's EdgeTransition kernel (edge-stack mega-fusion)
+        # before this block's __call__ runs. Param paths are unchanged
+        # (ipa_{b}/linear_b, ipa_{b}/down_z).
+        self._linear_b = _DenseParams(self.c_z, self.no_heads, name="linear_b")
+        self._down_z = _DenseParams(self.c_z, self.c_z // 4, name="down_z")
+
+    def proj_weights(self):
+        """Fused [down_z | sqrt(1/3)*linear_b] z-projection weights in the
+        layout the EdgeTransition kernel emits proj with:
+        wcatT (Cdz+H, c_z) and bcat (Cdz+H,) fp32."""
+        from ..ops import ipa_attention as _ia
+        kb, bb = self._linear_b()
+        kdz, bdz = self._down_z()
+        wcat, bcat = _ia.fold_proj_weights(kb, bb, kdz, bdz)
+        return wcat.T, bcat
 
     @nn.compact
     def __call__(self, s: jnp.ndarray, z: jnp.ndarray, frames: Frames,
-                 mask: jnp.ndarray) -> jnp.ndarray:
+                 mask: jnp.ndarray, proj: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
         """
         s: (B, L, c_s) node embedding; z: (B, L, L, c_z) edge embedding;
         frames: per-residue rigid frames; mask: (B, L).
+        proj: optional precomputed fused z projection (B, L, Cdz+H, L)
+        emitted by the previous block's EdgeTransition kernel — when given
+        (and the Pallas path is active), z is never read here.
         Returns the (B, L, c_s) node update.
         """
         B, L, _ = s.shape
@@ -96,52 +123,81 @@ class InvariantPointAttention(nn.Module):
         head_weights = nn.softplus(self.param(
             "head_weights", nn.initializers.constant(0.541324854612918), (H,)))
 
-        kb, bb = _DenseParams(c_z, H, name="linear_b")()
-        kdz, bdz = _DenseParams(c_z, c_z // 4, name="down_z")()
+        kb, bb = self._linear_b()
+        kdz, bdz = self._down_z()
 
         from ..ops import ipa_attention as _ia
 
-        use_pallas = (self.use_pallas == "on"
-                      or (self.use_pallas == "auto" and _ia.is_supported()))
+        use_pallas = (not self.seq_axis
+                      and (self.use_pallas == "on"
+                           or (self.use_pallas == "auto"
+                               and _ia.is_supported())))
 
         if use_pallas:
-            # custom_vjp wrapper: fused Pallas forward, differentiable (the
-            # backward runs the VJP of the XLA oracle), so this path is live
-            # for training too.
-            o, opt_flat, o_pair = _ia.ipa_attention(
-                q.reshape(B, L, H * C),
-                k.reshape(B, L, H * C), v.reshape(B, L, H * C),
-                q_pts.reshape(B, L, H * Pq * 3),
-                k_pts.reshape(B, L, H * Pq * 3),
-                v_pts.reshape(B, L, H * Pv * 3),
-                z, kb, bb, kdz, bdz, head_weights, mask)
+            # custom_vjp wrappers: fused Pallas forward AND hand-written
+            # Pallas backward, so this path is live for training too.
+            flat = (q.reshape(B, L, H * C),
+                    k.reshape(B, L, H * C), v.reshape(B, L, H * C),
+                    q_pts.reshape(B, L, H * Pq * 3),
+                    k_pts.reshape(B, L, H * Pq * 3),
+                    v_pts.reshape(B, L, H * Pv * 3))
+            if proj is not None:
+                # Mega-fusion: proj was emitted by the previous block's
+                # EdgeTransition kernel; z is not read at all.
+                o, opt_flat, o_pair = _ia.ipa_attention_with_proj(
+                    *flat, proj, head_weights, mask)
+            else:
+                o, opt_flat, o_pair = _ia.ipa_attention(
+                    *flat, z, kb, bb, kdz, bdz, head_weights, mask)
             o_pt = opt_flat.reshape(B, L, H * Pv, 3)
         else:
-            a = jnp.einsum("blhc,bmhc->bhlm", q, k, precision=_HP)
+            # XLA attention path. In sequence-sharded mode the key-side
+            # tensors are sliced to this device's column shard and the
+            # softmax / output reductions become exact cross-shard
+            # collectives (z already arrives as the local shard).
+            kl, vl, k_pts_l = k, v, k_pts
+            v_pts_l, mask_l = v_pts, mask
+            if self.seq_axis:
+                from ..parallel.seq_shard import local_cols
+                kl, vl, k_pts_l, v_pts_l, mask_l = local_cols(
+                    self.seq_axis, k, v, k_pts, v_pts, mask)
+
+            a = jnp.einsum("blhc,bmhc->bhlm", q, kl, precision=_HP)
             a = a * math.sqrt(1.0 / (3 * C))
             b = jnp.einsum("blmc,ch->blmh", z, kb.astype(z.dtype)) + bb
             a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2))
 
             # Point attention via the distance expansion (MXU form).
+            Lk = kl.shape[1]
             pt_scale = head_weights * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
             qf = q_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
-            kf = k_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
+            kf = k_pts_l.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, Lk, Pq * 3)
             cross = jnp.einsum("bhlp,bhmp->bhlm", qf, kf, precision=_HP)
             q_sq = jnp.sum(qf * qf, axis=-1)  # (B, H, L)
-            k_sq = jnp.sum(kf * kf, axis=-1)
+            k_sq = jnp.sum(kf * kf, axis=-1)  # (B, H, Lk)
             dist2 = q_sq[..., :, None] + k_sq[..., None, :] - 2.0 * cross
             a = a - 0.5 * pt_scale[None, :, None, None] * dist2
 
-            square_mask = self.inf * (mask[:, None, :, None] * mask[:, None, None, :] - 1.0)
-            a = a + square_mask
-            a = nn.softmax(a.astype(jnp.float32), axis=-1)
+            square_mask = self.inf * (mask[:, None, :, None]
+                                      * mask_l[:, None, None, :] - 1.0)
+            a = (a + square_mask).astype(jnp.float32)
+            if self.seq_axis:
+                amax = lax.pmax(jnp.max(a, axis=-1, keepdims=True),
+                                self.seq_axis)
+                e = jnp.exp(a - amax)
+                denom = lax.psum(jnp.sum(e, axis=-1, keepdims=True),
+                                 self.seq_axis)
+                a = e / denom
+            else:
+                a = nn.softmax(a, axis=-1)
 
             # scalar values
-            o = jnp.einsum("bhlm,bmhc->blhc", a.astype(v.dtype), v, precision=_HP)
+            o = jnp.einsum("bhlm,bmhc->blhc", a.astype(vl.dtype), vl,
+                           precision=_HP)
             o = o.reshape(B, L, H * C)
 
             # point values: aggregate in global coords
-            vf = v_pts.transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pv * 3)
+            vf = v_pts_l.transpose(0, 2, 1, 3, 4).reshape(B, H, Lk, Pv * 3)
             o_pt = jnp.einsum("bhlm,bhmp->bhlp", a.astype(vf.dtype), vf, precision=_HP)
             o_pt = o_pt.reshape(B, H, L, Pv, 3).transpose(0, 2, 1, 3, 4)
             o_pt = o_pt.reshape(B, L, H * Pv, 3)
@@ -152,6 +208,11 @@ class InvariantPointAttention(nn.Module):
             o_pair = jnp.einsum("bhlm,blmc->blhc", a.astype(pair_z.dtype),
                                 pair_z, precision=_HP).reshape(B, L, H * (c_z // 4))
             o_pair = o_pair.astype(o.dtype)
+            if self.seq_axis:
+                # Partial sums over local keys -> exact with one psum each.
+                o = lax.psum(o, self.seq_axis)
+                o_pt = lax.psum(o_pt, self.seq_axis)
+                o_pair = lax.psum(o_pair, self.seq_axis)
 
         # back to local frames + norms
         o_pt = _invert_apply_frames(frames, o_pt)
@@ -185,27 +246,44 @@ class TranslationIPA(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"
     use_pallas_ipa: str = "auto"
+    seq_axis: str = ""
 
     @nn.compact
     def __call__(self, node_embed, edge_embed, rigids_t7, residue_mask,
                  fixed_mask, deterministic: bool = True):
         node_mask = residue_mask.astype(node_embed.dtype)
         diffuse_mask = (1.0 - fixed_mask.astype(node_embed.dtype)) * node_mask
-        edge_mask = node_mask[..., None] * node_mask[..., None, :]
 
         quat = rigids_t7[..., :4]
         quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
         trans = rigids_t7[..., 4:] * self.coordinate_scaling
         frames = Frames(quat, trans)
 
+        from ..ops import edge_mlp as _em_ops
+        from ..ops import ipa_attention as _ia_ops
+
+        # Edge-stack mega-fusion: with both edge kernels active, each
+        # EdgeTransition kernel also emits the NEXT block's fused z
+        # projection while the fresh z tile is in VMEM, so the attention
+        # never reads z from HBM (ops/edge_mlp.py `_kernel_proj`).
+        ipa_on = (self.use_pallas_ipa == "on"
+                  or (self.use_pallas_ipa == "auto" and _ia_ops.is_supported()))
+        edge_on = (self.use_pallas == "on"
+                   or (self.use_pallas == "auto" and _em_ops.is_supported()))
+        use_mega = ipa_on and edge_on and not self.seq_axis
+
+        ipas = [InvariantPointAttention(
+            c_hidden=self.c_hidden, no_heads=self.no_heads,
+            no_qk_points=self.no_qk_points, no_v_points=self.no_v_points,
+            c_z=self.c_z, dtype=self.dtype, use_pallas=self.use_pallas_ipa,
+            seq_axis=self.seq_axis,
+            name=f"ipa_{b}") for b in range(self.no_ipa_blocks)]
+
         init_node_embed = node_embed
+        proj = None
         for b in range(self.no_ipa_blocks):
-            ipa_out = InvariantPointAttention(
-                c_hidden=self.c_hidden, no_heads=self.no_heads,
-                no_qk_points=self.no_qk_points, no_v_points=self.no_v_points,
-                dtype=self.dtype, use_pallas=self.use_pallas_ipa,
-                name=f"ipa_{b}")(
-                node_embed, edge_embed, frames, node_mask)
+            ipa_out = ipas[b](node_embed, edge_embed, frames, node_mask,
+                              proj=proj)
             ipa_out = ipa_out * node_mask[..., None]
             node_embed = nn.LayerNorm(dtype=jnp.float32, name=f"ipa_ln_{b}")(
                 node_embed + ipa_out)
@@ -237,11 +315,21 @@ class TranslationIPA(nn.Module):
             frames = Frames(quat, trans)
 
             if b < self.no_ipa_blocks - 1:
-                edge_embed = EdgeTransition(
+                # No inter-block edge mask: the reference masks the edge
+                # embedding once after the embedder (denoising_ipa.py:186)
+                # and never between blocks — masked-key logits are killed by
+                # the attention mask bias regardless, and dropping the
+                # multiply saves a full z read+write per block.
+                et = EdgeTransition(
                     edge_embed_out=self.c_z, dtype=self.dtype,
-                    use_pallas=self.use_pallas,
-                    name=f"edge_transition_{b}")(node_embed, edge_embed)
-                edge_embed = edge_embed * edge_mask[..., None]
+                    use_pallas="off" if self.seq_axis else self.use_pallas,
+                    seq_axis=self.seq_axis,
+                    name=f"edge_transition_{b}")
+                if use_mega:
+                    edge_embed, proj = et(node_embed, edge_embed,
+                                          proj_w=ipas[b + 1].proj_weights())
+                else:
+                    edge_embed = et(node_embed, edge_embed)
 
         psi = TorsionAngleHead(n_torsion_angles=1, dtype=self.dtype,
                                name="torsion_pred")(node_embed)  # (B, L, 2)

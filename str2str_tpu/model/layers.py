@@ -113,9 +113,17 @@ class EdgeTransition(nn.Module):
     node_dilation: int = 2
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = "auto"  # "auto" | "on" | "off"
+    # Sequence-sharded mode: edge_embed holds only this device's column
+    # shard; the column-side node contributions are sliced to match
+    # (pointwise over (i, j) — no communication).
+    seq_axis: str = ""
 
     @nn.compact
-    def __call__(self, node_embed, edge_embed):
+    def __call__(self, node_embed, edge_embed, proj_w=None):
+        """proj_w: optional (wcatT (X, c_out), bcat (X,)) — the next IPA
+        block's fused z-projection weights. When given, returns
+        (new_edge_embed, proj) with proj emitted inside the fused kernel
+        while the output tile is in VMEM (edge-stack mega-fusion)."""
         assert self.num_layers == 2, "decomposed trunk is written for 2 layers"
         c_node = node_embed.shape[-1]
         c_edge = edge_embed.shape[-1]
@@ -153,13 +161,20 @@ class EdgeTransition(nn.Module):
 
         ni1, nj1 = node_parts(k1)
         nfi, nfj = node_parts(kf)
+        if self.seq_axis:
+            from ..parallel.seq_shard import local_cols
+            nj1, nfj = local_cols(self.seq_axis, nj1, nfj)
 
-        # edge_mlp is a custom_vjp (fused Pallas forward, XLA-oracle
-        # backward), so this path is live for training too.
+        # edge_mlp is a custom_vjp with hand-written Pallas forward AND
+        # backward kernels, so this path is live for training too.
+        base_args = (z, ni1, nj1, nfi, nfj,
+                     k1[:c_edge], k2, kf, kf[:c_edge], b1, b2, bf,
+                     ln_scale, ln_bias)
+        if proj_w is not None:
+            fn = _em.edge_mlp_proj if use_pallas else _em.edge_mlp_proj_reference
+            return fn(*base_args, proj_w[0], proj_w[1])
         fn = _em.edge_mlp if use_pallas else _em.edge_mlp_reference
-        return fn(z, ni1, nj1, nfi, nfj,
-                  k1[:c_edge], k2, kf, kf[:c_edge], b1, b2, bf,
-                  ln_scale, ln_bias)
+        return fn(*base_args)
 
 
 class TorsionAngleHead(nn.Module):

@@ -50,6 +50,10 @@ class NetworkConfig:
     # 1.7x the XLA attention path at bf16 L=256 (fused single-read z
     # projection + head-major VMEM-resident softmax/aggregation)
     use_pallas_ipa: str = "auto"
+    # Sequence-sharded long-context mode: name of the mesh axis the network
+    # runs under (inside shard_map) with the edge tensors column-sharded —
+    # the L >> 512 path the reference lacks (SURVEY §5.7). Empty = off.
+    seq_axis: str = ""
 
 
 class ScoreNetwork(nn.Module):
@@ -80,10 +84,14 @@ class ScoreNetwork(nn.Module):
             edge_embed_size=cfg.edge_embed_size,
             num_bins=cfg.num_bins, min_bin=cfg.min_bin, max_bin=cfg.max_bin,
             self_conditioning=cfg.self_conditioning, dtype=dtype,
-            use_pallas=cfg.use_pallas,
+            use_pallas=cfg.use_pallas, seq_axis=cfg.seq_axis,
             name="embedder")(
             batch["residue_idx"], batch["t"], fixed_mask, batch["sc_ca_t"])
         node_embed = node_embed * node_mask[..., None]
+        if cfg.seq_axis:
+            from ..parallel.seq_shard import local_cols
+            edge_mask = node_mask[..., None] * local_cols(
+                cfg.seq_axis, node_mask)[..., None, :]
         edge_embed = edge_embed * edge_mask[..., None]
 
         trunk_out = TranslationIPA(
@@ -96,7 +104,7 @@ class ScoreNetwork(nn.Module):
             c_hidden=cfg.c_hidden, no_heads=cfg.no_heads,
             no_qk_points=cfg.no_qk_points, no_v_points=cfg.no_v_points,
             dropout=cfg.dropout, dtype=dtype, use_pallas=cfg.use_pallas,
-            use_pallas_ipa=cfg.use_pallas_ipa,
+            use_pallas_ipa=cfg.use_pallas_ipa, seq_axis=cfg.seq_axis,
             name="translator")(
             node_embed, edge_embed, batch["rigids_t"].astype(jnp.float32),
             node_mask, fixed_mask, deterministic=deterministic)

@@ -210,13 +210,25 @@ def edge_embed_reference(row_part, col_part, residue_idx, sc_ca,
                          *, min_bin: float, max_bin: float, num_bins: int,
                          init_embed_size: int, max_len: int = 2056,
                          self_conditioning: bool = True, eps: float = 1e-6,
-                         query_block: int | None = None):
-    """Plain-XLA oracle with identical inputs/outputs."""
+                         query_block: int | None = None,
+                         residue_idx_col=None, sc_ca_col=None):
+    """Plain-XLA oracle with identical inputs/outputs.
+
+    residue_idx_col / sc_ca_col: optional column-side inputs for a
+    RECTANGULAR edge block (rows = full length, cols = a local key shard) —
+    the sequence-sharded long-context path builds only its column shard of
+    the edge embedding. col_part must then be the matching (B, Lk, D) slice.
+    Defaults to the square (self) case."""
     dt = row_part.dtype
+    if residue_idx_col is None:
+        residue_idx_col = residue_idx
+    if sc_ca_col is None:
+        sc_ca_col = sc_ca
     half = init_embed_size // 2
     freq = math.pi / max_len ** (2 * jnp.arange(half, dtype=jnp.float32)
                                  / init_embed_size)
-    rel = (residue_idx[:, :, None] - residue_idx[:, None, :]).astype(jnp.float32)
+    rel = (residue_idx[:, :, None]
+           - residue_idx_col[:, None, :]).astype(jnp.float32)
     args = rel[..., None] * freq
     rel_embed = jnp.concatenate([jnp.sin(args), jnp.cos(args)], -1).astype(dt)
     x = jnp.einsum("bijc,cd->bijd", rel_embed, krel.astype(dt),
@@ -225,7 +237,7 @@ def edge_embed_reference(row_part, col_part, residue_idx, sc_ca,
     if self_conditioning:
         d = jnp.linalg.norm(
             sc_ca[..., :, None, :].astype(jnp.float32)
-            - sc_ca[..., None, :, :].astype(jnp.float32), axis=-1)
+            - sc_ca_col[..., None, :, :].astype(jnp.float32), axis=-1)
         lower = jnp.linspace(min_bin, max_bin, num_bins)
         upper = jnp.concatenate([lower[1:], jnp.asarray([1e8])])
         onehot = ((d[..., None] > lower) & (d[..., None] < upper)).astype(dt)
@@ -246,7 +258,238 @@ def edge_embed_reference(row_part, col_part, residue_idx, sc_ca,
     return (h * ln_scale + ln_bias).astype(dt)
 
 
+# ---- hand-written backward kernel ------------------------------------------
+# Recomputes the pairwise features (angle-addition sinusoids, distance
+# one-hots) and the MLP hiddens for a row block entirely in VMEM, then walks
+# LN -> 2 matmuls -> relu -> first layer backwards. The feature builders are
+# gradient-free (integer residue indices; the one-hot distogram is piecewise
+# constant in sc_ca), so the only non-weight grads are the rank-L row/col
+# first-layer contributions.
+
+def _bwd_kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
+                scq_ref, sck_ref,
+                krel_ref, kd_ref, k1_ref, k2_ref,
+                b0_ref, b1_ref, b2_ref, ln_s_ref, ln_b_ref,
+                lo2_ref, hi2_ref, dout_ref,
+                drowp_ref, dcolp_ref, dkrel_ref, dkd_ref, dk1_ref, dk2_ref,
+                db0_ref, db1_ref, db2_ref, dls_ref, dlb_ref,
+                *, self_cond: bool, eps: float):
+    first_in_batch = pl.program_id(1) == 0
+    first_overall = (pl.program_id(0) == 0) & first_in_batch
+
+    @pl.when(first_in_batch)
+    def _zero_batch():
+        dcolp_ref[...] = jnp.zeros(dcolp_ref.shape, dcolp_ref.dtype)
+
+    @pl.when(first_overall)
+    def _zero_weights():
+        for ref in (dkrel_ref, dkd_ref, dk1_ref, dk2_ref,
+                    db0_ref, db1_ref, db2_ref, dls_ref, dlb_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    Qb = rowp_ref.shape[1]
+    L = colp_ref.shape[1]
+    D = rowp_ref.shape[2]
+    dt = rowp_ref.dtype
+
+    # ---- recompute forward (identical math to _kernel) ------------------
+    sq = sq_ref[0][:, None, :]
+    cq = cq_ref[0][:, None, :]
+    sk = sk_ref[0][None, :, :]
+    ck = ck_ref[0][None, :, :]
+    sin_rel = (sq * ck - cq * sk).astype(dt)
+    cos_rel = (cq * ck + sq * sk).astype(dt)
+    rel_embed = jnp.concatenate([sin_rel, cos_rel], axis=-1)  # (Qb, L, PE)
+    PE = rel_embed.shape[-1]
+    rel2 = rel_embed.reshape(Qb * L, PE)
+    x = jnp.dot(rel2, krel_ref[:], preferred_element_type=jnp.float32)
+
+    if self_cond:
+        cross = jax.lax.dot_general(
+            scq_ref[0], sck_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qq = jnp.sum(scq_ref[0] * scq_ref[0], axis=-1)
+        kk = jnp.sum(sck_ref[0] * sck_ref[0], axis=-1)
+        d2 = qq[:, None] + kk[None, :] - 2.0 * cross
+        onehot = ((d2[:, :, None] > lo2_ref[0][None, None, :])
+                  & (d2[:, :, None] < hi2_ref[0][None, None, :])).astype(dt)
+        NB = onehot.shape[-1]
+        oh2 = onehot.reshape(Qb * L, NB)
+        x = x + jnp.dot(oh2, kd_ref[:], preferred_element_type=jnp.float32)
+
+    x = x.reshape(Qb, L, D)
+    x = x + rowp_ref[0][:, None, :].astype(jnp.float32)
+    x = x + colp_ref[0][None, :, :].astype(jnp.float32)
+    x = jnp.maximum(x + b0_ref[0], 0.0).astype(dt)        # (Qb, L, D)
+    x2 = x.reshape(Qb * L, D)
+
+    h1 = jnp.dot(x2, k1_ref[:], preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[0], 0.0).astype(dt)      # (Qb*L, D)
+    h2 = jnp.dot(h1, k2_ref[:], preferred_element_type=jnp.float32)
+    h2 = (h2 + b2_ref[0]).reshape(Qb, L, D)
+
+    mean = jnp.mean(h2, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h2 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (h2 - mean) * rstd                             # (Qb, L, D) f32
+
+    # ---- LayerNorm backward --------------------------------------------
+    dout = dout_ref[0].astype(jnp.float32)
+    dls_ref[...] += jnp.sum((dout * xhat).reshape(Qb * L, D), axis=0,
+                            keepdims=True)
+    dlb_ref[...] += jnp.sum(dout.reshape(Qb * L, D), axis=0, keepdims=True)
+    g = dout * ln_s_ref[0]
+    dh2 = (g - jnp.mean(g, axis=-1, keepdims=True)
+           - xhat * jnp.mean(g * xhat, axis=-1, keepdims=True)) * rstd
+    dh2_2 = dh2.reshape(Qb * L, D)
+    dh2c = dh2_2.astype(dt)
+    db2_ref[...] += jnp.sum(dh2_2, axis=0, keepdims=True)
+
+    # ---- second MLP layer ----------------------------------------------
+    dk2_ref[...] += jax.lax.dot_general(
+        h1, dh2c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh1 = jax.lax.dot_general(dh2c, k2_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh1 = jnp.where(h1 > 0, dh1, 0.0)
+    dh1c = dh1.astype(dt)
+    db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+
+    # ---- first MLP layer -----------------------------------------------
+    dk1_ref[...] += jax.lax.dot_general(
+        x2, dh1c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx = jax.lax.dot_general(dh1c, k1_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx = jnp.where(x2 > 0, dx, 0.0)                       # (Qb*L, D) f32
+    dxc = dx.astype(dt)
+    db0_ref[...] += jnp.sum(dx, axis=0, keepdims=True)
+
+    dx3 = dx.reshape(Qb, L, D)
+    drowp_ref[0] = jnp.sum(dx3, axis=1).astype(drowp_ref.dtype)
+    dcolp_ref[0] += jnp.sum(dx3, axis=0)
+
+    dkrel_ref[...] += jax.lax.dot_general(
+        rel2, dxc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if self_cond:
+        dkd_ref[...] += jax.lax.dot_general(
+            oh2, dxc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _pick_bwd_block(L: int, D: int, itemsize: int):
+    if L < 128 and _FORCE_QB is None:
+        return None
+    if _FORCE_QB is not None:
+        return _FORCE_QB
+    budget = 12 * 1024 * 1024
+    for qb in (32, 16, 8, 4):
+        if L % qb:
+            continue
+        cost = (3 * qb * L * 128 * 4          # sinusoid f32 temps (lane-pad)
+                + 4 * qb * L * D * 4          # x/h2/xhat/dout f32 live set
+                + 4 * qb * L * D * itemsize   # x/h1/onehot/dx dt tensors
+                + 2 * qb * L * D * itemsize   # dout in (double-buffered)
+                + qb * L * 128 * itemsize)    # one-hot (lane-padded)
+        if cost <= budget:
+            return qb
+    return None
+
+
+# Test hook (mirrors ipa_attention._FORCE_QB).
+_FORCE_QB: int | None = None
+
+
+def edge_embed_bwd_pallas(row_part, col_part, residue_idx, sc_ca,
+                          krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                          dout, *, min_bin, max_bin, num_bins,
+                          init_embed_size, max_len=2056,
+                          self_conditioning=True, eps=1e-6):
+    B, L, D = row_part.shape
+    dt = row_part.dtype
+    qb = _pick_bwd_block(L, D, jnp.dtype(dt).itemsize)
+    if qb is None:
+        return None
+
+    half = init_embed_size // 2
+    freq = math.pi / max_len ** (2 * jnp.arange(half, dtype=jnp.float32)
+                                 / init_embed_size)
+    lower = jnp.linspace(min_bin, max_bin, num_bins)
+    upper = jnp.concatenate([lower[1:], jnp.asarray([1e8])])
+    lo2 = (lower ** 2).reshape(1, -1)
+    hi2 = (upper ** 2).reshape(1, -1)
+    phase = residue_idx.astype(jnp.float32)[..., None] * freq
+    sin_p, cos_p = jnp.sin(phase), jnp.cos(phase)
+    scf = sc_ca.astype(jnp.float32)
+
+    PE, NB = krel.shape[0], kd.shape[0]
+    vecs = [v.reshape(1, -1).astype(jnp.float32)
+            for v in (b0, b1, b2, ln_scale, ln_bias)]
+    f32 = jnp.float32
+
+    kern = functools.partial(_bwd_kernel, self_cond=self_conditioning,
+                             eps=eps)
+    return pl.pallas_call(
+        kern,
+        grid=(B, L // qb),
+        in_specs=[
+            pl.BlockSpec((1, qb, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, qb, half), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, qb, half), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L, half), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L, half), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, qb, 3), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L, 3), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((PE, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((NB, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((D, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((D, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, qb, L, D), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qb, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((PE, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((NB, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((D, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((D, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), f32),   # drowp
+            jax.ShapeDtypeStruct((B, L, D), f32),   # dcolp (accum per b)
+            jax.ShapeDtypeStruct((PE, D), f32),     # dkrel (accum)
+            jax.ShapeDtypeStruct((NB, D), f32),     # dkd (accum)
+            jax.ShapeDtypeStruct((D, D), f32),      # dk1 (accum)
+            jax.ShapeDtypeStruct((D, D), f32),      # dk2 (accum)
+            jax.ShapeDtypeStruct((1, D), f32),      # db0
+            jax.ShapeDtypeStruct((1, D), f32),      # db1
+            jax.ShapeDtypeStruct((1, D), f32),      # db2
+            jax.ShapeDtypeStruct((1, D), f32),      # dls
+            jax.ShapeDtypeStruct((1, D), f32),      # dlb
+        ],
+    )(row_part, col_part, sin_p, cos_p, sin_p, cos_p, scf, scf,
+      krel.astype(dt), kd.astype(dt), k1.astype(dt), k2.astype(dt),
+      *vecs, lo2, hi2, dout.astype(dt))
+
+
 # ---- differentiable entry point --------------------------------------------
+# Forward AND backward run hand-written Pallas kernels; the integer residue
+# indices and the (piecewise-constant) distogram input get symbolic-zero
+# cotangents, matching the XLA reference's autodiff.
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
 def edge_embed(row_part, col_part, residue_idx, sc_ca,
@@ -275,12 +518,39 @@ def _ee_fwd(row_part, col_part, residue_idx, sc_ca,
 
 def _ee_bwd(min_bin, max_bin, num_bins, init_embed_size, max_len,
             self_conditioning, saved, ct):
-    _, vjp = jax.vjp(
-        lambda *a: edge_embed_reference(
-            *a, min_bin=min_bin, max_bin=max_bin, num_bins=num_bins,
-            init_embed_size=init_embed_size, max_len=max_len,
-            self_conditioning=self_conditioning), *saved)
-    return vjp(ct)
+    (row_part, col_part, residue_idx, sc_ca,
+     krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias) = saved
+    outs = edge_embed_bwd_pallas(
+        row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
+        b0, b1, b2, ln_scale, ln_bias, ct,
+        min_bin=min_bin, max_bin=max_bin, num_bins=num_bins,
+        init_embed_size=init_embed_size, max_len=max_len,
+        self_conditioning=self_conditioning)
+    if outs is None:
+        # Shapes outside the kernel's envelope: differentiate the XLA
+        # reference instead.
+        _, vjp = jax.vjp(
+            lambda *a: edge_embed_reference(
+                *a, min_bin=min_bin, max_bin=max_bin, num_bins=num_bins,
+                init_embed_size=init_embed_size, max_len=max_len,
+                self_conditioning=self_conditioning), *saved)
+        return vjp(ct)
+    (drowp, dcolp, dkrel, dkd, dk1, dk2,
+     db0, db1, db2, dls, dlb) = outs
+    import numpy as _np
+    f0 = jax.dtypes.float0
+    return (drowp.astype(row_part.dtype), dcolp.astype(col_part.dtype),
+            _np.zeros(residue_idx.shape, f0)
+            if jnp.issubdtype(residue_idx.dtype, jnp.integer)
+            else jnp.zeros_like(residue_idx),
+            jnp.zeros_like(sc_ca),
+            dkrel.astype(krel.dtype), dkd.astype(kd.dtype),
+            dk1.astype(k1.dtype), dk2.astype(k2.dtype),
+            db0.reshape(b0.shape).astype(b0.dtype),
+            db1.reshape(b1.shape).astype(b1.dtype),
+            db2.reshape(b2.shape).astype(b2.dtype),
+            dls.reshape(ln_scale.shape).astype(ln_scale.dtype),
+            dlb.reshape(ln_bias.shape).astype(ln_bias.dtype))
 
 
 edge_embed.defvjp(_ee_fwd, _ee_bwd)

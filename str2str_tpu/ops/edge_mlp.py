@@ -45,18 +45,20 @@ def is_supported() -> bool:
         return False
 
 
-def _kernel(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
-            k1z_ref, k2_ref, kfh_ref, kfz_ref,
-            b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
-            out_ref, *, eps: float):
+def _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                  k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                  b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
+                  eps: float):
+    """Shared fused-MLP forward over one row block; returns the final
+    LayerNorm output (R, L, Cout) in fp32."""
     z = z_ref[0]                       # (R, L, Cz)
     R, L, Cz = z.shape
-    H = k2_ref.shape[0]
     z2 = z.reshape(R * L, Cz)
 
     h = jnp.dot(z2, k1z_ref[:], preferred_element_type=jnp.float32)
-    h = h.reshape(R, L, H) + ni1_ref[0][:, None, :] + nj1_ref[0][None, :, :]
+    h = h.reshape(R, L, -1) + ni1_ref[0][:, None, :] + nj1_ref[0][None, :, :]
     h = jnp.maximum(h + b1_ref[0], 0.0).astype(z.dtype)
+    H = h.shape[-1]
 
     h = jnp.dot(h.reshape(R * L, H), k2_ref[:],
                 preferred_element_type=jnp.float32)
@@ -72,19 +74,64 @@ def _kernel(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     mean = jnp.mean(o, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(o - mean), axis=-1, keepdims=True)
     o = (o - mean) * jax.lax.rsqrt(var + eps)
-    o = o * ln_scale_ref[0] + ln_bias_ref[0]
+    return o * ln_scale_ref[0] + ln_bias_ref[0]
+
+
+def _kernel(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+            k1z_ref, k2_ref, kfh_ref, kfz_ref,
+            b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
+            out_ref, *, eps: float):
+    o = _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                      k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                      b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref, eps)
     out_ref[0] = o.astype(out_ref.dtype)
+
+
+def _kernel_proj(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                 k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                 b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
+                 wcatT_ref, bcat_ref,
+                 out_ref, proj_ref, *, eps: float):
+    """Edge-stack mega-fusion: additionally emit the NEXT IPA block's fused
+    z projection proj[r, x, l] = sum_c out[r, l, c] * wcat[c, x] + bcat[x]
+    while the freshly computed z' tile is still in VMEM — the consumer
+    (ops/ipa_attention) then never reads z' at all. Emitted per row as
+    wcatT (X, Cout) @ out[r]^T-free form: dot_general contracting the
+    channel dim of both operands (Mosaic-fast contract-dim1/dim1)."""
+    o = _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                      k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                      b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref, eps)
+    dt = out_ref.dtype
+    oc = o.astype(dt)
+    out_ref[0] = oc
+    R = oc.shape[0]
+    rows = []
+    for r in range(R):
+        pr = jax.lax.dot_general(
+            wcatT_ref[:].astype(dt), oc[r], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (X, L)
+        rows.append(pr)
+    proj = jnp.stack(rows, axis=0)                     # (R, X, L) f32
+    proj = proj + bcat_ref[0][None, :, None]
+    proj_ref[0] = proj.astype(proj_ref.dtype)
 
 
 def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                     b1, b2, bf, ln_scale, ln_bias,
                     eps: float = 1e-6,
-                    row_block: int = DEFAULT_ROW_BLOCK) -> jnp.ndarray:
+                    row_block: int = DEFAULT_ROW_BLOCK,
+                    proj_w=None):
     """Fused edge MLP.
 
     z: (B, L, L, Cz); ni1/nj1: (B, L, H); nfi/nfj: (B, L, Cout);
     kernels pre-sliced: k1z (Cz, H), k2 (H, H), kfh (H, Cout), kfz (Cz, Cout);
     biases/LN params 1-D. Returns (B, L, L, Cout) in z.dtype.
+
+    proj_w: optional (wcatT (X, Cout), bcat (X,)) — the NEXT IPA block's
+    fused z-projection weights. When given, the kernel additionally emits
+    proj (B, L, X, L) while the output tile is in VMEM (edge-stack
+    mega-fusion: the consumer never reads z' from HBM) and the return value
+    is the tuple (out, proj).
     """
     B, L, _, Cz = z.shape
     H = k2.shape[0]
@@ -100,10 +147,299 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
             for v in (b1, b2, bf, ln_scale, ln_bias)]
     weights = [w.astype(dt) for w in (k1z, k2, kfh, kfz)]
 
+    in_specs = [
+        pl.BlockSpec((1, rb, L, Cz), lambda b, i: (b, i, 0, 0)),
+        pl.BlockSpec((1, rb, H), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, rb, Cout), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, L, Cout), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((Cz, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((H, Cout), lambda b, i: (0, 0)),
+        pl.BlockSpec((Cz, Cout), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+    ]
+    args = [z, ni1, nj1, nfi, nfj, *weights, *vecs]
+
+    if proj_w is None:
+        return pl.pallas_call(
+            functools.partial(_kernel, eps=eps),
+            grid=(B, L // rb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, L, L, Cout), dt),
+        )(*args)
+
+    wcatT, bcat = proj_w
+    X = wcatT.shape[0]
+    in_specs += [
+        pl.BlockSpec((X, Cout), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, X), lambda b, i: (0, 0)),
+    ]
+    args += [wcatT.astype(dt), bcat.reshape(1, -1).astype(jnp.float32)]
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel_proj, eps=eps),
         grid=(B, L // rb),
-        in_specs=[
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, rb, X, L), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, L, Cout), dt),
+            jax.ShapeDtypeStruct((B, L, X, L), dt),
+        ],
+    )(*args)
+
+
+# ---- hand-written backward kernel ------------------------------------------
+# Recomputes the forward hiddens for a row block entirely in VMEM (storing
+# nothing between fwd and bwd but the kernel's own inputs), then walks the
+# chain LN -> final -> relu MLP backwards. Per-row-block outputs (d_z,
+# d_ni1, d_nfi) are block-indexed; everything contracted over rows (d_nj1,
+# d_nfj, all weight/bias/LN grads) accumulates into fp32 output blocks that
+# are revisited across the sequential row-block grid axis.
+
+def _bwd_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+              k1z_ref, k2_ref, kfh_ref, kfz_ref,
+              b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
+              dout_ref,
+              dz_ref, dni1_ref, dnj1_ref, dnfi_ref, dnfj_ref,
+              dk1z_ref, dk2_ref, dkfh_ref, dkfz_ref,
+              db1_ref, db2_ref, dbf_ref, dls_ref, dlb_ref,
+              proj_pack, eps: float):
+    """proj_pack: None, or (wcatT_ref, dprojT_ref, dwcatT_ref, dbcat_ref)
+    for the mega-fusion variant whose forward also emitted the next block's
+    fused z projection."""
+    # Per-batch accumulators (dnj1/dnfj, block index (b,0,0)) restart at the
+    # first row block of every batch row; the weight-like accumulators keep
+    # block index (0,0) for the WHOLE grid (the block persists in VMEM and is
+    # flushed once at the end), so they are zeroed only at the very first
+    # program.
+    first_in_batch = pl.program_id(1) == 0
+    first_overall = (pl.program_id(0) == 0) & first_in_batch
+
+    @pl.when(first_in_batch)
+    def _zero_batch():
+        dnj1_ref[...] = jnp.zeros(dnj1_ref.shape, dnj1_ref.dtype)
+        dnfj_ref[...] = jnp.zeros(dnfj_ref.shape, dnfj_ref.dtype)
+
+    @pl.when(first_overall)
+    def _zero_weights():
+        refs = [dk1z_ref, dk2_ref, dkfh_ref, dkfz_ref,
+                db1_ref, db2_ref, dbf_ref, dls_ref, dlb_ref]
+        if proj_pack is not None:
+            refs += [proj_pack[2], proj_pack[3]]
+        for ref in refs:
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    z = z_ref[0]                        # (R, L, Cz)
+    R, L, Cz = z.shape
+    H = k2_ref.shape[0]
+    dt = z.dtype
+    z2 = z.reshape(R * L, Cz)
+
+    # ---- recompute forward hiddens (identical math to _kernel) ----------
+    x = jnp.dot(z2, k1z_ref[:], preferred_element_type=jnp.float32)
+    x = x.reshape(R, L, H) + ni1_ref[0][:, None, :] + nj1_ref[0][None, :, :]
+    h1 = jnp.maximum(x + b1_ref[0], 0.0).astype(dt)      # (R, L, H)
+    h1_2 = h1.reshape(R * L, H)
+
+    h2 = jnp.dot(h1_2, k2_ref[:], preferred_element_type=jnp.float32)
+    h2 = jnp.maximum(h2 + b2_ref[0], 0.0).astype(dt)     # (R*L, H)
+
+    y = jnp.dot(h2, kfh_ref[:], preferred_element_type=jnp.float32)
+    y = y + jnp.dot(z2, kfz_ref[:], preferred_element_type=jnp.float32)
+    Cout = y.shape[-1]
+    y = y.reshape(R, L, Cout) + nfi_ref[0][:, None, :] + nfj_ref[0][None, :, :]
+    y = y + bf_ref[0]
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (y - mean) * rstd                             # (R, L, Cout) f32
+
+    # ---- LayerNorm backward --------------------------------------------
+    dout = dout_ref[0].astype(jnp.float32)               # (R, L, Cout)
+    if proj_pack is not None:
+        # Forward also emitted proj = out @ wcat + bcat: fold its cotangent
+        # into the out-cotangent and accumulate the projection-weight grads.
+        wcatT_ref, dprojT_ref, dwcatT_ref, dbcat_ref = proj_pack
+        wT = wcatT_ref[:].astype(dt)                     # (X, Cout)
+        X = wT.shape[0]
+        o_dt = (xhat * ln_scale_ref[0] + ln_bias_ref[0]).astype(dt)
+        dprojT = dprojT_ref[0]                           # (R, L, X) dt
+        extra = []
+        for r in range(R):
+            extra.append(jnp.dot(dprojT[r], wT,
+                                 preferred_element_type=jnp.float32))
+        dout = dout + jnp.stack(extra, axis=0)           # (R, L, Cout)
+        dpT2 = dprojT.reshape(R * L, X)
+        dwcatT_ref[...] += jax.lax.dot_general(
+            dpT2, o_dt.reshape(R * L, Cout), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (X, Cout)
+        dbcat_ref[...] += jnp.sum(dpT2.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+    dls_ref[...] += jnp.sum((dout * xhat).reshape(R * L, Cout), axis=0,
+                            keepdims=True)
+    dlb_ref[...] += jnp.sum(dout.reshape(R * L, Cout), axis=0, keepdims=True)
+    g = dout * ln_scale_ref[0]
+    dy = (g - jnp.mean(g, axis=-1, keepdims=True)
+          - xhat * jnp.mean(g * xhat, axis=-1, keepdims=True)) * rstd
+    dy2 = dy.reshape(R * L, Cout)
+    dyc = dy2.astype(dt)
+
+    dnfi_ref[0] = jnp.sum(dy, axis=1).astype(dnfi_ref.dtype)   # (R, Cout)
+    dnfj_ref[0] += jnp.sum(dy, axis=0)                         # (L, Cout)
+    dbf_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
+
+    # ---- final linear backward -----------------------------------------
+    # d_h2 = d_y @ Kf_h^T   (contract-dim1/dim1)
+    dh2 = jax.lax.dot_general(dyc, kfh_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh2 = jnp.where(h2 > 0, dh2, 0.0)
+    dh2c = dh2.astype(dt)
+    db2_ref[...] += jnp.sum(dh2, axis=0, keepdims=True)
+    # d_Kf_h += h2^T @ d_y  (contract rows)
+    dkfh_ref[...] += jax.lax.dot_general(
+        h2, dyc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dkfz_ref[...] += jax.lax.dot_general(
+        z2, dyc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # ---- second trunk layer backward -----------------------------------
+    dh1 = jax.lax.dot_general(dh2c, k2_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh1 = jnp.where(h1_2 > 0, dh1, 0.0)
+    dh1c = dh1.astype(dt)
+    db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+    dk2_ref[...] += jax.lax.dot_general(
+        h1_2, dh2c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dni1_ref[0] = jnp.sum(dh1.reshape(R, L, H), axis=1).astype(dni1_ref.dtype)
+    dnj1_ref[0] += jnp.sum(dh1.reshape(R, L, H), axis=0)
+
+    # ---- first trunk layer backward ------------------------------------
+    dk1z_ref[...] += jax.lax.dot_general(
+        z2, dh1c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dz = jax.lax.dot_general(dh1c, k1z_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dz = dz + jax.lax.dot_general(dyc, kfz_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dz_ref[0] = dz.reshape(R, L, Cz).astype(dz_ref.dtype)
+
+
+def _bwd_kernel(*refs, eps: float):
+    _bwd_body(*refs, None, eps)
+
+
+def _bwd_kernel_proj(*refs, eps: float):
+    (z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz, b1, b2, bf, lns, lnb,
+     dout, wcatT, dprojT,
+     dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz, db1, db2, dbf,
+     dls, dlb, dwcatT, dbcat) = refs
+    _bwd_body(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz, b1, b2, bf, lns, lnb,
+              dout, dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz,
+              db1, db2, dbf, dls, dlb,
+              (wcatT, dprojT, dwcatT, dbcat), eps)
+
+
+def _pick_bwd_row_block(L: int, Cz: int, H: int, Cout: int, itemsize: int):
+    """Largest row block whose backward working set fits scoped VMEM."""
+    budget = 13 * 1024 * 1024
+    fixed = ((L * H + L * Cout) * 4 * 2      # nj1/nfj in + dnj1/dnfj accum
+             + (Cz * H + H * H + H * Cout + Cz * Cout) * (itemsize + 4))
+    for rb in (16, 8, 4, 2, 1):
+        if L % rb:
+            continue
+        per = (2 * rb * L * Cz * itemsize        # z block (double-buffered)
+               + 2 * rb * L * Cout * itemsize    # dout block
+               + 2 * rb * L * Cz * itemsize      # dz out
+               + 2 * rb * L * H * itemsize       # h1, h2 (dt)
+               + 6 * rb * L * Cout * 4           # y/xhat/dout/g/dy f32
+               + 3 * rb * L * H * 4)             # dh1/dh2 f32 (liveness)
+        if fixed + per <= budget:
+            return rb
+    return 1
+
+
+def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                        b1, b2, bf, ln_scale, ln_bias, dout,
+                        eps: float = 1e-6, row_block: int | None = None,
+                        proj_w=None, dproj=None):
+    """Hand-written backward. Returns grads for every input of
+    `edge_mlp_pallas` (in order); with proj_w/dproj given, additionally
+    (dwcatT, dbcat) appended."""
+    B, L, _, Cz = z.shape
+    H = k2.shape[0]
+    Cout = kfh.shape[1]
+    dt = z.dtype
+    rb = row_block or _pick_bwd_row_block(L, Cz, H, Cout,
+                                          jnp.dtype(dt).itemsize)
+    rb = min(rb, L)
+    while L % rb:
+        rb -= 1
+
+    ni1, nj1 = ni1.astype(jnp.float32), nj1.astype(jnp.float32)
+    nfi, nfj = nfi.astype(jnp.float32), nfj.astype(jnp.float32)
+    vecs = [v.reshape(1, -1).astype(jnp.float32)
+            for v in (b1, b2, bf, ln_scale, ln_bias)]
+    weights = [w.astype(dt) for w in (k1z, k2, kfh, kfz)]
+    f32 = jnp.float32
+
+    fixed_w = [  # weight-like inputs, block = whole array
+        pl.BlockSpec((Cz, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((H, Cout), lambda b, i: (0, 0)),
+        pl.BlockSpec((Cz, Cout), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+    ]
+    in_specs = [
+        pl.BlockSpec((1, rb, L, Cz), lambda b, i: (b, i, 0, 0)),
+        pl.BlockSpec((1, rb, H), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, rb, Cout), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, L, Cout), lambda b, i: (b, 0, 0)),
+        *fixed_w,
+        pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),
+    ]
+    args = [z, ni1, nj1, nfi, nfj, *weights, *vecs, dout.astype(dt)]
+    extra_out_specs, extra_out_shapes = [], []
+    kern = _bwd_kernel
+    if proj_w is not None:
+        kern = _bwd_kernel_proj
+        wcatT, _bcat = proj_w
+        X = wcatT.shape[0]
+        # dproj arrives (B, L, X, L); the kernel wants the (B, L, L, X)
+        # transpose so the per-row fold-in matmul is natural (M,K)x(K,N).
+        dprojT = dproj.astype(dt).transpose(0, 1, 3, 2)
+        in_specs += [
+            pl.BlockSpec((X, Cout), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, rb, L, X), lambda b, i: (b, i, 0, 0)),
+        ]
+        args += [wcatT.astype(dt), dprojT]
+        extra_out_specs = [
+            pl.BlockSpec((X, Cout), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, X), lambda b, i: (0, 0)),
+        ]
+        extra_out_shapes = [
+            jax.ShapeDtypeStruct((X, Cout), f32),          # dwcatT (accum)
+            jax.ShapeDtypeStruct((1, X), f32),             # dbcat (accum)
+        ]
+    outs = pl.pallas_call(
+        functools.partial(kern, eps=eps),
+        grid=(B, L // rb),
+        in_specs=in_specs,
+        out_specs=[
             pl.BlockSpec((1, rb, L, Cz), lambda b, i: (b, i, 0, 0)),
             pl.BlockSpec((1, rb, H), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
@@ -118,17 +454,33 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
             pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
             pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
             pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+            *extra_out_specs,
         ],
-        out_specs=pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, L, Cout), dt),
-    )(z, ni1, nj1, nfi, nfj, *weights, *vecs)
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, L, Cz), dt),       # dz
+            jax.ShapeDtypeStruct((B, L, H), f32),          # dni1
+            jax.ShapeDtypeStruct((B, L, H), f32),          # dnj1 (accum)
+            jax.ShapeDtypeStruct((B, L, Cout), f32),       # dnfi
+            jax.ShapeDtypeStruct((B, L, Cout), f32),       # dnfj (accum)
+            jax.ShapeDtypeStruct((Cz, H), f32),            # dk1z (accum)
+            jax.ShapeDtypeStruct((H, H), f32),             # dk2 (accum)
+            jax.ShapeDtypeStruct((H, Cout), f32),          # dkfh (accum)
+            jax.ShapeDtypeStruct((Cz, Cout), f32),         # dkfz (accum)
+            jax.ShapeDtypeStruct((1, H), f32),             # db1 (accum)
+            jax.ShapeDtypeStruct((1, H), f32),             # db2 (accum)
+            jax.ShapeDtypeStruct((1, Cout), f32),          # dbf (accum)
+            jax.ShapeDtypeStruct((1, Cout), f32),          # dls (accum)
+            jax.ShapeDtypeStruct((1, Cout), f32),          # dlb (accum)
+            *extra_out_shapes,
+        ],
+    )(*args)
+    return outs
 
 
 # ---- differentiable entry point --------------------------------------------
-# Forward = fused Pallas kernel; backward = VJP of the (mathematically
-# identical) XLA reference evaluated at the saved inputs (rematerializes the
-# [B,L,L,H] hiddens, i.e. the usual checkpointing trade). This keeps training
-# on the fused forward path without a hand-written backward kernel.
+# Forward AND backward run hand-written Pallas kernels: the backward
+# recomputes the [B,L,L,H] hiddens in VMEM instead of materializing them in
+# HBM (or, as in round 2, re-running the XLA oracle forward inside the VJP).
 
 @jax.custom_vjp
 def edge_mlp(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
@@ -142,11 +494,79 @@ def _edge_mlp_fwd(*args):
 
 
 def _edge_mlp_bwd(args, ct):
-    _, vjp = jax.vjp(lambda *a: edge_mlp_reference(*a), *args)
-    return vjp(ct)
+    (z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+     b1, b2, bf, ln_scale, ln_bias) = args
+    outs = edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                               b1, b2, bf, ln_scale, ln_bias, ct)
+    (dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz,
+     db1, db2, dbf, dls, dlb) = outs
+    return (dz.astype(z.dtype),
+            dni1.astype(ni1.dtype), dnj1.astype(nj1.dtype),
+            dnfi.astype(nfi.dtype), dnfj.astype(nfj.dtype),
+            dk1z.astype(k1z.dtype), dk2.astype(k2.dtype),
+            dkfh.astype(kfh.dtype), dkfz.astype(kfz.dtype),
+            db1.reshape(b1.shape).astype(b1.dtype),
+            db2.reshape(b2.shape).astype(b2.dtype),
+            dbf.reshape(bf.shape).astype(bf.dtype),
+            dls.reshape(ln_scale.shape).astype(ln_scale.dtype),
+            dlb.reshape(ln_bias.shape).astype(ln_bias.dtype))
 
 
 edge_mlp.defvjp(_edge_mlp_fwd, _edge_mlp_bwd)
+
+
+# ---- mega-fusion variant: emit the next block's fused z projection ---------
+
+@jax.custom_vjp
+def edge_mlp_proj(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                  b1, b2, bf, ln_scale, ln_bias, wcatT, bcat):
+    return edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                           b1, b2, bf, ln_scale, ln_bias,
+                           proj_w=(wcatT, bcat))
+
+
+def _edge_mlp_proj_fwd(*args):
+    out, proj = edge_mlp_pallas(*args[:14], proj_w=(args[14], args[15]))
+    return (out, proj), args
+
+
+def _edge_mlp_proj_bwd(args, cts):
+    (z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+     b1, b2, bf, ln_scale, ln_bias, wcatT, bcat) = args
+    dout, dproj = cts
+    outs = edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                               b1, b2, bf, ln_scale, ln_bias, dout,
+                               proj_w=(wcatT, bcat), dproj=dproj)
+    (dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz,
+     db1, db2, dbf, dls, dlb, dwcatT, dbcat) = outs
+    return (dz.astype(z.dtype),
+            dni1.astype(ni1.dtype), dnj1.astype(nj1.dtype),
+            dnfi.astype(nfi.dtype), dnfj.astype(nfj.dtype),
+            dk1z.astype(k1z.dtype), dk2.astype(k2.dtype),
+            dkfh.astype(kfh.dtype), dkfz.astype(kfz.dtype),
+            db1.reshape(b1.shape).astype(b1.dtype),
+            db2.reshape(b2.shape).astype(b2.dtype),
+            dbf.reshape(bf.shape).astype(bf.dtype),
+            dls.reshape(ln_scale.shape).astype(ln_scale.dtype),
+            dlb.reshape(ln_bias.shape).astype(ln_bias.dtype),
+            dwcatT.astype(wcatT.dtype),
+            dbcat.reshape(bcat.shape).astype(bcat.dtype))
+
+
+edge_mlp_proj.defvjp(_edge_mlp_proj_fwd, _edge_mlp_proj_bwd)
+
+
+def edge_mlp_proj_reference(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                            b1, b2, bf, ln_scale, ln_bias, wcatT, bcat,
+                            eps: float = 1e-6):
+    """XLA oracle for the mega-fusion variant: edge MLP + the next block's
+    fused z projection proj[b,i,x,l] = sum_c out[b,i,l,c]*wcat[c,x]+bcat[x]."""
+    out = edge_mlp_reference(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                             b1, b2, bf, ln_scale, ln_bias, eps=eps)
+    dt = out.dtype
+    proj = (jnp.einsum("bilc,xc->bixl", out, wcatT.astype(dt))
+            .astype(jnp.float32) + bcat.astype(jnp.float32)[None, None, :, None])
+    return out, proj.astype(dt)
 
 
 def edge_mlp_reference(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,

@@ -1,4 +1,4 @@
-"""Fused Invariant-Point-Attention as a Pallas TPU kernel.
+"""Fused Invariant-Point-Attention as a Pallas TPU kernel (fwd + bwd).
 
 Replaces, per IPA block, the XLA path's HBM round-trips for: the fp32
 [B,H,L,L] logits tensor (written and re-read ~3x by the XLA path: qk, +bias,
@@ -14,8 +14,9 @@ Division of labor (what made this fast where two earlier versions were not):
     Emitting them inside the kernel produces them with the head/channel
     dim in lanes, and any lane->sublane relayout (per-head lane selects or
     a transpose) costs more than the saved HBM traffic. The kernel consumes
-      biasT (B, H, L, L)    — per-head slice = free major-dim index
-      pzT   (B, L, Cdz, L)  — batch-friendly layout for the opair matmul
+      proj  (B, L, Cdz+H, L) — fused [down_z | sqrt(1/3)*bias] projection
+    with the channel dim on a MAJOR axis so both per-head bias and the pz
+    block are free slices.
   * All per-head operands are head-major 4D blocks, so every per-head access
     is a major-axis index — no lane slicing, no in-kernel transposes.
   * The squared point-distance logits use the expansion
@@ -32,16 +33,26 @@ Division of labor (what made this fast where two earlier versions were not):
     MXU contraction over keys: (Qb, H, L) x (Qb, Cdz, L) -> (Qb, H, Cdz),
     batched over query rows.
 
-Numerics: logits and softmax in fp32; matmuls accumulate fp32 (MXU native)
-regardless of input dtype; attention weights are cast to the value dtype for
-the aggregation matmuls (same as the XLA oracle below).
+Training: the custom_vjp boundary sits at the KERNEL CORE
+(`_attn_core(qhat, khat, v4, vf4, proj)`), whose backward is a hand-written
+Pallas kernel that recomputes the softmax in VMEM (storing nothing but the
+kernel's own inputs) and accumulates dK/dV/dVf across query blocks in fp32.
+The XLA prep (head-major packing, folded scalings, the fused z projection)
+stays ordinary differentiable JAX, so gradients w.r.t. q/k/v/points/z and
+all projection weights fall out of autodiff of O(L)-sized code plus one
+z-sized einsum VJP. No oracle forward runs inside the backward — this is
+what makes fused-kernel TRAINING faster than the XLA path (round 2 it was
+1.6x slower because the custom_vjp differentiated the whole XLA oracle).
+
+Transposed-operand rule: every backward matmul is phrased in natural
+(M,K)x(K,N), contract-dim1/dim1, or leading-batch form; the operand
+transposes that requires (qhat^T, do^T, dopt^T) are built OUTSIDE by XLA
+where relayouts are free, and handed to the kernel as extra inputs (they
+are node-sized, ~10 MB total — noise next to the avoided [B,H,L,L]
+materializations).
 
 Reference semantics being reproduced: the [B,H,L,L] materialization of
-/root/reference/src/models/net/ipa.py:183-258.
-
-Training support: `ipa_attention` is a custom_vjp whose forward runs this
-kernel and whose backward differentiates the (mathematically identical) XLA
-oracle — the fused forward is usable under jax.grad.
+/root/reference/src/models/net/ipa.py:183-258 and its autograd.
 """
 from __future__ import annotations
 
@@ -57,6 +68,10 @@ try:
 except Exception:  # pragma: no cover
     pltpu = None
 
+# Test hook: force a query block size (bypasses the L>=128 VMEM picker so
+# interpreter-mode CPU tests can exercise the real kernels at tiny L).
+_FORCE_QB: int | None = None
+
 
 def is_supported() -> bool:
     if pltpu is None:
@@ -67,8 +82,12 @@ def is_supported() -> bool:
         return False
 
 
-def _kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
-            o_ref, opt_ref, opair_ref, *, H: int, Cdz: int):
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
+                o_ref, opt_ref, opair_ref, *, H: int, Cdz: int):
     """Shapes per program (Qb query rows, full-L keys):
     qhat: (1, H, Qb, D+2)  [D = C + 3*Pq: pre-scaled q | point-q | rank-1
                             |q|^2 correction | ones]
@@ -79,9 +98,7 @@ def _kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
     vf:   (1, H, 3*Pv, L)  [pre-transposed point values]
     proj: (1, Qb, Cdz+H, L) [ONE fused z projection: down-projected pair
                             values (first Cdz channels) | sqrt(1/3)-scaled
-                            pair bias per head — channel dim on a MAJOR axis
-                            so both per-head bias and the pz block are free
-                            slices]
+                            pair bias per head]
     outputs (head-major): o (1, H, Qb, C), opt (1, H, Qb, 3*Pv),
                           opair (1, Qb, H, Cdz)
     """
@@ -113,13 +130,99 @@ def _kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
         preferred_element_type=jnp.float32).astype(dt)
 
 
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(qhat_ref, qhatT_ref, khat_ref, v_ref, vf_ref, proj_ref,
+                do_ref, doT_ref, dopt_ref, doptT_ref, dopair_ref,
+                dqhat_ref, dkhat_ref, dvT_ref, dvf_ref, dproj_ref,
+                *, H: int, Cdz: int):
+    """Recompute-softmax backward over one query block (full-L keys).
+
+    Extra inputs vs forward: qhatT (1,H,D+2,Qb), doT (1,H,C,Qb),
+    doptT (1,H,3Pv,Qb) — XLA-side transposes so every matmul below is in a
+    Mosaic-fast form; dopair (1,Qb,H,Cdz) cotangent.
+
+    Outputs: dqhat (1,H,Qb,D+2) and dproj (1,Qb,Cdz+H,L) are query-indexed;
+    dkhat (1,H,D+2,L), dvT (1,H,C,L), dvf (1,H,3Pv,L) are fp32 accumulators
+    revisited across the (sequential) query-block grid axis: zeroed at the
+    first block of each batch row, then add-updated.
+    """
+    dt = v_ref.dtype
+    first = pl.program_id(1) == 0
+
+    @pl.when(first)
+    def _zero():
+        dkhat_ref[...] = jnp.zeros(dkhat_ref.shape, dkhat_ref.dtype)
+        dvT_ref[...] = jnp.zeros(dvT_ref.shape, dvT_ref.dtype)
+        dvf_ref[...] = jnp.zeros(dvf_ref.shape, dvf_ref.dtype)
+
+    pz = proj_ref[0][:, :Cdz, :]                       # (Qb, Cdz, L)
+    # dp contribution from o_pair, all heads at once (leading-batch MXU):
+    # dp_pair[q, h, l] = sum_c dopair[q, h, c] * pz[q, c, l]
+    dp_pair = jax.lax.dot_general(
+        dopair_ref[0], pz, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (Qb, H, L) f32
+
+    ps, dls = [], []
+    for h in range(H):
+        logits = jnp.dot(qhat_ref[0, h], khat_ref[0, h],
+                         preferred_element_type=jnp.float32)  # (Qb, L)
+        logits = logits + proj_ref[0][:, Cdz + h, :].astype(jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        pf = e / jnp.sum(e, axis=-1, keepdims=True)    # (Qb, L) f32
+        p = pf.astype(dt)
+        ps.append(p)
+
+        # dp = do @ v^T + dopt @ vf + dp_pair[h]   (all contract-dim1/dim1
+        # or natural (M,K)x(K,N) forms)
+        dp = jax.lax.dot_general(
+            do_ref[0, h], v_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (Qb,C)x(L,C)->(Qb,L)
+        dp = dp + jnp.dot(dopt_ref[0, h], vf_ref[0, h],
+                          preferred_element_type=jnp.float32)
+        dp = dp + dp_pair[:, h, :]
+
+        # softmax VJP
+        dl = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))  # f32
+        dlc = dl.astype(dt)
+        dls.append(dlc)
+
+        # dqhat = dl @ khat^T  : (Qb,L)x(D2,L) contract-1/1 -> (Qb,D2)
+        dqhat_ref[0, h] = jax.lax.dot_general(
+            dlc, khat_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dqhat_ref.dtype)
+        # dkhat += qhat^T @ dl : (D2,Qb)x(Qb,L) natural
+        dkhat_ref[0, h] += jnp.dot(qhatT_ref[0, h], dlc,
+                                   preferred_element_type=jnp.float32)
+        # dv^T += do^T @ p     : (C,Qb)x(Qb,L) natural
+        dvT_ref[0, h] += jnp.dot(doT_ref[0, h], p,
+                                 preferred_element_type=jnp.float32)
+        # dvf += dopt^T @ p    : (3Pv,Qb)x(Qb,L) natural
+        dvf_ref[0, h] += jnp.dot(doptT_ref[0, h], p,
+                                 preferred_element_type=jnp.float32)
+
+    p_all = jnp.stack(ps, axis=1)                      # (Qb, H, L)
+    # dpz[q, c, l] = sum_h dopair[q, h, c] * p[q, h, l]
+    dpz = jax.lax.dot_general(
+        dopair_ref[0], p_all, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (Qb, Cdz, L) f32
+    dl_all = jnp.stack(dls, axis=1).astype(jnp.float32)  # (Qb, H, L)
+    dproj_ref[0] = jnp.concatenate([dpz, dl_all], axis=1).astype(
+        dproj_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# block pickers (VMEM budgeting)
+# ---------------------------------------------------------------------------
+
 def _pick_query_block(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
                       Cdz: int, itemsize: int):
-    """Largest query block whose VMEM working set fits.
-
-    Fixed cost: the double-buffered full-L k-side blocks. Per-query-block
-    cost: bias/pz tiles, qhat, outputs, and fp32 logit temporaries.
-    """
+    """Largest query block whose forward VMEM working set fits."""
+    if _FORCE_QB is not None:
+        return _FORCE_QB
     D2 = C + 3 * Pq + 2
     lanes = 128
     if L < lanes:
@@ -148,35 +251,57 @@ def _pick_query_block(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
     return None
 
 
-def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
-                         head_weights, mask, *, inf: float = 1e5,
-                         query_block: int | None = None):
-    """
-    q: (B, Qtot, H*C); k/v: (B, L, H*C); q_pts: (B, Qtot, H*3Pq) global
-    coords; k_pts: (B, L, H*3Pq); v_pts: (B, L, H*3Pv); z: (B, Qtot, L, Cz);
-    kb/bb: linear_b kernel/bias; kdz/bdz: down_z kernel/bias;
-    head_weights: (H,) softplus-activated; mask: (B, L).
-    Returns (o, o_pt_global, o_pair) with head-flattened channel layouts.
-    """
+def _pick_query_block_bwd(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
+                          Cdz: int, itemsize: int):
+    """Backward working set: forward residency + fp32 accumulators + the
+    transposed operands + cotangent tiles + stacked f32 temporaries."""
+    if _FORCE_QB is not None:
+        return _FORCE_QB
+    D2 = C + 3 * Pq + 2
+    lanes = 128
+    if L < lanes:
+        return None
+
+    def pad(n):
+        return -(-n // lanes) * lanes
+
+    fixed = (2 * (H * D2 * L + H * L * C + H * (3 * Pv + 8) * L) * itemsize
+             # fp32 accumulators (revisited output blocks, single-buffered)
+             + (H * D2 * L + H * C * L + H * (3 * Pv + 8) * L) * 4)
+    budget = 15 * 1024 * 1024
+    for qb in (64, 32, 16, 8):
+        if qb > Qtot or Qtot % qb:
+            continue
+        per_q = (2 * qb * (Cdz + H) * L * itemsize       # proj tile
+                 + qb * (Cdz + H) * L * 4 * 2            # dproj out (f32)
+                 + 4 * qb * pad(D2) * H * itemsize       # qhat + qhatT
+                 + 2 * qb * pad(D2) * H * 4              # dqhat out (f32)
+                 + 4 * qb * (C + pad(3 * Pv)) * H * itemsize  # do/doT/dopt/doptT
+                 + 2 * qb * pad(Cdz) * H * itemsize      # dopair
+                 + 3 * qb * H * L * 4                    # p_all/dl_all/dp_pair
+                 + 8 * qb * L * 4)                       # per-head f32 temps
+        if fixed + per_q <= budget:
+            return qb
+    return None
+
+
+# ---------------------------------------------------------------------------
+# prep: head-major packing + folded scalings + fused z projection (XLA side,
+# ordinary differentiable JAX — its autodiff is the grad path for q/k/v/
+# points/z and the projection weights)
+# ---------------------------------------------------------------------------
+
+def _prep_qk(q, k, v, q_pts, k_pts, v_pts, head_weights, mask, inf: float):
+    """Head-major packing + folded scalings for the q/k/v operands
+    (everything except the z projection)."""
     B, L, HC = k.shape
     Qtot = q.shape[1]
     H = head_weights.shape[0]
     C = HC // H
     Pq = q_pts.shape[-1] // (3 * H)
     Pv = v_pts.shape[-1] // (3 * H)
-    Cdz = kdz.shape[1]
     dt = q.dtype
 
-    qb = query_block or _pick_query_block(
-        Qtot, L, H, C, Pq, Pv, Cdz, jnp.dtype(dt).itemsize)
-    if qb is None or (query_block and Qtot % query_block):
-        # Normalize the fallback to the kernel's output dtype so callers
-        # (and the custom_vjp machinery) see one contract either way.
-        return tuple(t.astype(dt) for t in ipa_attention_reference(
-            q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
-            head_weights, mask, inf=inf))
-
-    # ---- host-side (XLA) prep: head-major layouts + folded scalings -------
     scale_qk = math.sqrt(1.0 / (3 * C))
     pt_norm = math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
     w = head_weights.astype(jnp.float32) * pt_norm       # (H,)
@@ -212,51 +337,281 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
             axis=-1).transpose(0, 1, 3, 2),
          ones_k, kadd[:, :, None, :].astype(dt)],
         axis=2)                                           # (B, H, D+2, L)
-    v4 = heads(v, C)                                      # (B, H, L, C)
-    vf4 = heads(v_pts, 3 * Pv).transpose(0, 1, 3, 2)      # (B, H, 3Pv, L)
+    v4 = heads(v, C).astype(dt)                           # (B, H, L, C)
+    vf4 = heads(v_pts, 3 * Pv).transpose(0, 1, 3, 2).astype(dt)  # (B,H,3Pv,L)
+    return qhat, khat, v4, vf4
 
-    # Edge projections: ONE fused XLA pass over z (single z read), emitted
-    # directly in the layout the kernel consumes — channel dim on a major
-    # axis (free for XLA's copy epilogue, prohibitive to produce in-kernel).
+
+def fold_proj_weights(kb, bb, kdz, bdz):
+    """Fused [down_z | sqrt(1/3)*linear_b] projection weights.
+    Returns wcat (Cz, Cdz+H) and bcat (Cdz+H,) in fp32."""
     wcat = jnp.concatenate(
         [kdz.astype(jnp.float32),
-         kb.astype(jnp.float32) * math.sqrt(1.0 / 3)], axis=1)  # (Cz, Cdz+H)
+         kb.astype(jnp.float32) * math.sqrt(1.0 / 3)], axis=1)
     bcat = jnp.concatenate(
         [bdz.astype(jnp.float32),
-         bb.astype(jnp.float32) * math.sqrt(1.0 / 3)])          # (Cdz+H,)
-    proj = (jnp.einsum("bqlc,cx->bqxl", z, wcat.astype(dt)).astype(jnp.float32)
-            + bcat[None, None, :, None]).astype(dt)       # (B, Qtot, Cdz+H, L)
+         bb.astype(jnp.float32) * math.sqrt(1.0 / 3)])
+    return wcat, bcat
 
-    D2 = C + 3 * Pq + 2
-    kern = functools.partial(_kernel, H=H, Cdz=Cdz)
-    grid = (B, Qtot // qb)
 
-    o, opt, opair = pl.pallas_call(
+def make_proj(z, kb, bb, kdz, bdz, dt):
+    """Edge projections: ONE fused XLA pass over z (single z read), emitted
+    directly in the layout the kernel consumes — channel dim on a MAJOR
+    axis (free for XLA's copy epilogue, prohibitive to produce in-kernel).
+    Returns (B, Qtot, Cdz+H, L) in dt. When the producing EdgeTransition
+    runs its fused kernel, the kernel emits this tensor itself
+    (ops/edge_mlp.py) and this XLA pass — a full z read — is skipped."""
+    wcat, bcat = fold_proj_weights(kb, bb, kdz, bdz)
+    return (jnp.einsum("bqlc,cx->bqxl", z, wcat.astype(dt)).astype(jnp.float32)
+            + bcat[None, None, :, None]).astype(dt)
+
+
+def _prep(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+          head_weights, mask, inf: float):
+    qhat, khat, v4, vf4 = _prep_qk(q, k, v, q_pts, k_pts, v_pts,
+                                   head_weights, mask, inf)
+    proj = make_proj(z, kb, bb, kdz, bdz, q.dtype)
+    return qhat, khat, v4, vf4, proj
+
+
+# ---------------------------------------------------------------------------
+# kernel core with hand-written VJP
+# ---------------------------------------------------------------------------
+
+def _core_shapes(qhat, khat, v4, vf4, proj):
+    B, H, Qtot, D2 = qhat.shape
+    L = khat.shape[-1]
+    C = v4.shape[-1]
+    Pv3 = vf4.shape[2]
+    Cdz = proj.shape[2] - H
+    Pq = (D2 - 2 - C) // 3
+    return B, H, Qtot, D2, L, C, Pv3, Cdz, Pq
+
+
+def _core_fwd_call(qhat, khat, v4, vf4, proj, qb: int):
+    B, H, Qtot, D2, L, C, Pv3, Cdz, _ = _core_shapes(qhat, khat, v4, vf4, proj)
+    dt = v4.dtype
+    kern = functools.partial(_fwd_kernel, H=H, Cdz=Cdz)
+    return pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(B, Qtot // qb),
         in_specs=[
             pl.BlockSpec((1, H, qb, D2), lambda b, i: (b, 0, i, 0)),
             pl.BlockSpec((1, H, D2, L), lambda b, i: (b, 0, 0, 0)),
             pl.BlockSpec((1, H, L, C), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, 3 * Pv, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Pv3, L), lambda b, i: (b, 0, 0, 0)),
             pl.BlockSpec((1, qb, Cdz + H, L), lambda b, i: (b, i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, H, qb, C), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, qb, 3 * Pv), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, qb, Pv3), lambda b, i: (b, 0, i, 0)),
             pl.BlockSpec((1, qb, H, Cdz), lambda b, i: (b, i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Qtot, C), dt),
-            jax.ShapeDtypeStruct((B, H, Qtot, 3 * Pv), dt),
+            jax.ShapeDtypeStruct((B, H, Qtot, Pv3), dt),
             jax.ShapeDtypeStruct((B, Qtot, H, Cdz), dt),
         ],
     )(qhat, khat, v4, vf4, proj)
 
-    def unheads(t):  # (B, H, Qtot, p) -> (B, Qtot, H*p)
-        return t.transpose(0, 2, 1, 3).reshape(B, Qtot, -1)
 
-    return unheads(o), unheads(opt), opair.reshape(B, Qtot, H * Cdz)
+def _core_bwd_call(qhat, khat, v4, vf4, proj, do, dopt, dopair, qb: int):
+    B, H, Qtot, D2, L, C, Pv3, Cdz, _ = _core_shapes(qhat, khat, v4, vf4, proj)
+    dt = v4.dtype
+    # Operand transposes built by XLA (cheap: node-sized tensors) so every
+    # in-kernel matmul is in a Mosaic-fast form.
+    qhatT = qhat.transpose(0, 1, 3, 2)
+    doT = do.astype(dt).transpose(0, 1, 3, 2)
+    doptT = dopt.astype(dt).transpose(0, 1, 3, 2)
+
+    kern = functools.partial(_bwd_kernel, H=H, Cdz=Cdz)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kern,
+        grid=(B, Qtot // qb),
+        in_specs=[
+            pl.BlockSpec((1, H, qb, D2), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, D2, qb), lambda b, i: (b, 0, 0, i)),
+            pl.BlockSpec((1, H, D2, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Pv3, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, qb, Cdz + H, L), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, H, qb, C), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, C, qb), lambda b, i: (b, 0, 0, i)),
+            pl.BlockSpec((1, H, qb, Pv3), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, Pv3, qb), lambda b, i: (b, 0, 0, i)),
+            pl.BlockSpec((1, qb, H, Cdz), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, qb, D2), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, D2, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, C, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Pv3, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, qb, Cdz + H, L), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Qtot, D2), f32),   # dqhat
+            jax.ShapeDtypeStruct((B, H, D2, L), f32),      # dkhat (accum)
+            jax.ShapeDtypeStruct((B, H, C, L), f32),       # dv^T (accum)
+            jax.ShapeDtypeStruct((B, H, Pv3, L), f32),     # dvf (accum)
+            jax.ShapeDtypeStruct((B, Qtot, Cdz + H, L), f32),  # dproj
+        ],
+    )(qhat, qhatT, khat, v4, vf4, proj, do.astype(dt), doT,
+      dopt.astype(dt), doptT, dopair.astype(dt))
+
+
+def _core_reference(qhat, khat, v4, vf4, proj):
+    """XLA oracle operating on the prepped operands (fallback when the
+    backward working set does not fit VMEM)."""
+    B, H, Qtot, D2, L, C, Pv3, Cdz, _ = _core_shapes(qhat, khat, v4, vf4, proj)
+    dt = v4.dtype
+    logits = jnp.einsum("bhqd,bhdl->bhql", qhat, khat,
+                        preferred_element_type=jnp.float32)
+    bias = proj[:, :, Cdz:, :].astype(jnp.float32)        # (B, Q, H, L)
+    logits = logits + bias.transpose(0, 2, 1, 3)
+    p = jax.nn.softmax(logits, axis=-1).astype(dt)
+    o = jnp.einsum("bhql,bhlc->bhqc", p, v4,
+                   preferred_element_type=jnp.float32).astype(dt)
+    opt = jnp.einsum("bhql,bhpl->bhqp", p, vf4,
+                     preferred_element_type=jnp.float32).astype(dt)
+    pz = proj[:, :, :Cdz, :]
+    opair = jnp.einsum("bhql,bqcl->bqhc", p, pz,
+                       preferred_element_type=jnp.float32).astype(dt)
+    return o, opt, opair
+
+
+@jax.custom_vjp
+def _attn_core(qhat, khat, v4, vf4, proj):
+    B, H, Qtot, D2, L, C, Pv3, Cdz, Pq = _core_shapes(qhat, khat, v4, vf4, proj)
+    qb = _pick_query_block(Qtot, L, H, C, Pq, Pv3 // 3, Cdz,
+                           jnp.dtype(v4.dtype).itemsize)
+    if qb is None:
+        return _core_reference(qhat, khat, v4, vf4, proj)
+    return _core_fwd_call(qhat, khat, v4, vf4, proj, qb)
+
+
+def _attn_core_fwd(qhat, khat, v4, vf4, proj):
+    return _attn_core(qhat, khat, v4, vf4, proj), (qhat, khat, v4, vf4, proj)
+
+
+def _attn_core_bwd(res, cts):
+    qhat, khat, v4, vf4, proj = res
+    do, dopt, dopair = cts
+    B, H, Qtot, D2, L, C, Pv3, Cdz, Pq = _core_shapes(qhat, khat, v4, vf4, proj)
+    qb = _pick_query_block_bwd(Qtot, L, H, C, Pq, Pv3 // 3, Cdz,
+                               jnp.dtype(v4.dtype).itemsize)
+    if qb is None:
+        _, vjp = jax.vjp(_core_reference, qhat, khat, v4, vf4, proj)
+        return vjp(cts)
+    dqhat, dkhat, dvT, dvf, dproj = _core_bwd_call(
+        qhat, khat, v4, vf4, proj, do, dopt, dopair, qb)
+    return (dqhat.astype(qhat.dtype), dkhat.astype(khat.dtype),
+            dvT.transpose(0, 1, 3, 2).astype(v4.dtype),
+            dvf.astype(vf4.dtype), dproj.astype(proj.dtype))
+
+
+_attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+def _unheads(t):  # (B, H, Qtot, p) -> (B, Qtot, H*p)
+    B, H, Q, p = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(B, Q, H * p)
+
+
+def ipa_attention(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+                  head_weights, mask, *, inf: float = 1e5):
+    """Differentiable fused IPA attention.
+
+    q: (B, Qtot, H*C); k/v: (B, L, H*C); q_pts: (B, Qtot, H*3Pq) global
+    coords; k_pts: (B, L, H*3Pq); v_pts: (B, L, H*3Pv); z: (B, Qtot, L, Cz);
+    kb/bb: linear_b kernel/bias; kdz/bdz: down_z kernel/bias;
+    head_weights: (H,) softplus-activated; mask: (B, L).
+    Returns (o, o_pt_global, o_pair) with head-flattened channel layouts.
+
+    Forward AND backward run hand-written Pallas kernels; gradients for the
+    prep/packing flow through ordinary autodiff of `_prep`.
+    """
+    B, L, HC = k.shape
+    Qtot = q.shape[1]
+    H = head_weights.shape[0]
+    C = HC // H
+    Pq = q_pts.shape[-1] // (3 * H)
+    Pv = v_pts.shape[-1] // (3 * H)
+    Cdz = kdz.shape[1]
+    dt = q.dtype
+
+    qb = _pick_query_block(Qtot, L, H, C, Pq, Pv, Cdz, jnp.dtype(dt).itemsize)
+    if qb is None:
+        # Normalize the fallback to the kernel's output dtype so callers see
+        # one contract either way.
+        return tuple(t.astype(dt) for t in ipa_attention_reference(
+            q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+            head_weights, mask, inf=inf))
+
+    qhat, khat, v4, vf4, proj = _prep(
+        q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+        head_weights, mask, inf)
+    o4, opt4, opair = _attn_core(qhat, khat, v4, vf4, proj)
+    return _unheads(o4), _unheads(opt4), opair.reshape(B, Qtot, H * Cdz)
+
+
+def ipa_attention_with_proj(q, k, v, q_pts, k_pts, v_pts, proj,
+                            head_weights, mask, *, inf: float = 1e5):
+    """Differentiable fused IPA attention consuming a PRECOMPUTED fused z
+    projection (emitted by the previous block's EdgeTransition kernel while
+    z was still in VMEM — the edge-stack mega-fusion path; z itself is
+    never read here).
+
+    proj: (B, Qtot, Cdz+H, L) = [down_z(z) | sqrt(1/3)*linear_b(z)] with the
+    channel dim on a major axis. Other arguments as `ipa_attention`.
+    """
+    B, L, HC = k.shape
+    Qtot = q.shape[1]
+    H = head_weights.shape[0]
+    C = HC // H
+    Pq = q_pts.shape[-1] // (3 * H)
+    Pv = v_pts.shape[-1] // (3 * H)
+    Cdz = proj.shape[2] - H
+    dt = q.dtype
+
+    qhat, khat, v4, vf4 = _prep_qk(q, k, v, q_pts, k_pts, v_pts,
+                                   head_weights, mask, inf)
+    # _attn_core falls back to the XLA oracle on the prepped operands when
+    # the kernel envelope does not fit (e.g. L < 128) — no z needed either
+    # way.
+    o4, opt4, opair = _attn_core(qhat, khat, v4, vf4, proj.astype(dt))
+    return _unheads(o4), _unheads(opt4), opair.reshape(B, Qtot, H * Cdz)
+
+
+def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+                         head_weights, mask, *, inf: float = 1e5,
+                         query_block: int | None = None):
+    """Forward-only kernel entry (used by the microbench and kernel tests;
+    `query_block` overrides the VMEM picker)."""
+    B, L, HC = k.shape
+    Qtot = q.shape[1]
+    H = head_weights.shape[0]
+    C = HC // H
+    Pq = q_pts.shape[-1] // (3 * H)
+    Pv = v_pts.shape[-1] // (3 * H)
+    Cdz = kdz.shape[1]
+    dt = q.dtype
+
+    qb = query_block or _pick_query_block(
+        Qtot, L, H, C, Pq, Pv, Cdz, jnp.dtype(dt).itemsize)
+    if qb is None or (query_block and Qtot % query_block):
+        return tuple(t.astype(dt) for t in ipa_attention_reference(
+            q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+            head_weights, mask, inf=inf))
+
+    ops = _prep(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+                head_weights, mask, inf)
+    o4, opt4, opair = _core_fwd_call(*ops, qb)
+    return _unheads(o4), _unheads(opt4), opair.reshape(B, Qtot, H * Cdz)
 
 
 def ipa_attention_reference(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
@@ -304,38 +659,3 @@ def ipa_attention_reference(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
                        precision=jax.lax.Precision.HIGHEST).reshape(
         B, -1, H * pz.shape[-1])
     return o, opt, opair
-
-
-# ---- differentiable entry point --------------------------------------------
-# Forward = fused Pallas kernel; backward = VJP of the (mathematically
-# identical) XLA oracle evaluated at the saved inputs. This keeps training
-# on the fused forward path without a hand-written backward kernel; the
-# backward itself still runs the XLA layout (optimizing it is future work).
-
-@jax.custom_vjp
-def ipa_attention(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
-                  head_weights, mask):
-    return ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z,
-                                kb, bb, kdz, bdz, head_weights, mask)
-
-
-def _ipa_fwd(*args):
-    return ipa_attention_pallas(*args), args
-
-
-def _ipa_bwd(args, cts):
-    # The oracle promotes its outputs to fp32 when the point tensors are
-    # fp32 (mixed bf16/fp32 module inputs); the kernel always emits q.dtype.
-    # Normalize the oracle to the kernel's output dtypes so the cotangents
-    # line up.
-    dt = args[0].dtype
-
-    def oracle(*a):
-        o, opt, opair = ipa_attention_reference(*a)
-        return o.astype(dt), opt.astype(dt), opair.astype(dt)
-
-    _, vjp = jax.vjp(oracle, *args)
-    return vjp(cts)
-
-
-ipa_attention.defvjp(_ipa_fwd, _ipa_bwd)

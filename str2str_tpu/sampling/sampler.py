@@ -77,14 +77,25 @@ class Sampler:
     forward-backward sampling kernels."""
 
     def __init__(self, net, diffuser: SE3Diffusion, cfg: SamplerConfig = SamplerConfig(),
-                 mesh=None):
+                 mesh=None, seq_mesh=None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — replica
         batches shard across it (each chip anneals its slice; no collectives
-        on the hot path)."""
+        on the hot path).
+
+        seq_mesh: optional Mesh whose axis matches `net.cfg.seq_axis` — the
+        long-context mode: the WHOLE anneal runs inside shard_map with the
+        edge tensors column-sharded over the axis (O(L^2)/n_devices memory
+        per chip) and everything node-sized replicated
+        (parallel/seq_shard.py). Mutually exclusive with `mesh`."""
         self.net = net
         self.diffuser = diffuser
         self.cfg = cfg
         self.mesh = mesh
+        self.seq_mesh = seq_mesh
+        if seq_mesh is not None:
+            assert mesh is None, "seq_mesh and mesh are mutually exclusive"
+            assert getattr(net.cfg, "seq_axis", ""), \
+                "seq_mesh requires net.cfg.seq_axis"
 
     # ------------------------------------------------------------------
     def _net_out_state(self, out) -> FrameState:
@@ -99,6 +110,20 @@ class Sampler:
         ts/dt/active: schedules from `build_schedule` (T, B)/(B,)/(T, B).
         Returns dict with atom37 (B, L, 37, 3) and rigids (B, L, 7).
         """
+        if self.seq_mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            # All inputs/outputs replicated; the sharding is internal (each
+            # device holds its column shard of the edge tensors and the
+            # attention psums keep node-level state bitwise replicated).
+            fn = shard_map(
+                self._run_impl, mesh=self.seq_mesh,
+                in_specs=(P(), P(), P(), P(), P(), P()),
+                out_specs=P(), check_rep=False)
+            return fn(params, key, feats, ts, dt, active)
+        return self._run_impl(params, key, feats, ts, dt, active)
+
+    def _run_impl(self, params, key, feats, ts, dt, active):
         cfg = self.cfg
         k_fwd, k_anneal = jax.random.split(key)
 

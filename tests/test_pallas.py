@@ -121,7 +121,7 @@ def test_ipa_module_paths_match(rng):
         jnp.asarray(rng.randn(B, L, 3) * 4, jnp.float32))
     mask = jnp.ones((B, L))
 
-    kw = dict(c_hidden=16, no_heads=4, no_qk_points=4, no_v_points=6)
+    kw = dict(c_hidden=16, no_heads=4, no_qk_points=4, no_v_points=6, c_z=16)
     off = InvariantPointAttention(use_pallas="off", **kw)
     params = off.init(jax.random.PRNGKey(1), s, z, frames, mask)
     out_off = off.apply(params, s, z, frames, mask)
@@ -190,7 +190,7 @@ def test_ipa_grads_match_between_paths(rng):
         jnp.asarray(rng.randn(B, L, 3) * 4, jnp.float32))
     mask = jnp.ones((B, L))
 
-    kw = dict(c_hidden=16, no_heads=4, no_qk_points=4, no_v_points=6)
+    kw = dict(c_hidden=16, no_heads=4, no_qk_points=4, no_v_points=6, c_z=16)
     off = InvariantPointAttention(use_pallas="off", **kw)
     params = off.init(jax.random.PRNGKey(1), s, z, frames, mask)
 
@@ -232,3 +232,174 @@ def test_ipa_grads_bf16_mixed_inputs(rng):
 
     g = jax.grad(loss)(args[0])
     assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_ipa_backward_kernel_matches_oracle_grads(rng):
+    """The hand-written Pallas backward kernel (recompute-softmax, fp32
+    accumulators) must reproduce the XLA oracle's gradients for every
+    differentiable input."""
+    from str2str_tpu.ops import ipa_attention as IA
+
+    B, L, H, C, Pq, Pv, Cz = 2, 32, 4, 16, 4, 6, 24
+
+    def r(*s, sc=0.5):
+        return jnp.asarray(rng.randn(*s) * sc, jnp.float32)
+
+    mask = np.ones((B, L), np.float32)
+    mask[:, -5:] = 0
+    args = (r(B, L, H * C), r(B, L, H * C), r(B, L, H * C),
+            r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pv),
+            r(B, L, L, Cz), r(Cz, H), r(H, sc=0.1), r(Cz, Cz // 4),
+            r(Cz // 4, sc=0.1), jnp.abs(r(H)) + 0.5, jnp.asarray(mask))
+    m3 = jnp.asarray(mask)[..., None]
+
+    def loss(fn, *a):
+        o, opt, opair = fn(*a)
+        return (jnp.sum((o * m3) ** 2) + jnp.sum((opt * m3) ** 2)
+                + jnp.sum((opair * m3) ** 3))
+
+    argnums = tuple(range(12))
+    g_ref = jax.grad(lambda *a: loss(IA.ipa_attention_reference, *a),
+                     argnums)(*args)
+    old = IA._FORCE_QB
+    IA._FORCE_QB = 16
+    try:
+        with _interpret_ctx():
+            g_k = jax.grad(lambda *a: loss(IA.ipa_attention, *a),
+                           argnums)(*args)
+    finally:
+        IA._FORCE_QB = old
+    for i, (a, b) in enumerate(zip(g_ref, g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_edge_mlp_backward_kernel_matches_oracle_grads(rng):
+    from str2str_tpu.ops import edge_mlp as EM
+
+    B, L, Cz, H, Cout = 2, 32, 16, 48, 16
+
+    def r(*shape, scale=0.3):
+        return jnp.asarray(rng.randn(*shape) * scale, dtype=jnp.float32)
+
+    args = (r(B, L, L, Cz), r(B, L, H), r(B, L, H), r(B, L, Cout),
+            r(B, L, Cout), r(Cz, H), r(H, H), r(H, Cout), r(Cz, Cout),
+            r(H, scale=0.1), r(H, scale=0.1), r(Cout, scale=0.1),
+            jnp.ones(Cout) + r(Cout, scale=0.05), r(Cout, scale=0.05))
+    w = r(B, L, L, Cout)
+
+    def loss(fn, *a):
+        o = fn(*a)
+        return jnp.sum(o * w + 0.3 * o ** 2)
+
+    argnums = tuple(range(14))
+    g_ref = jax.grad(lambda *a: loss(EM.edge_mlp_reference, *a),
+                     argnums)(*args)
+    with _interpret_ctx():
+        g_k = jax.grad(lambda *a: loss(EM.edge_mlp, *a), argnums)(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_edge_embed_backward_kernel_matches_oracle_grads(rng):
+    from str2str_tpu.ops import edge_embed as EE
+
+    B, L, D, NB, ies = 2, 32, 24, 22, 16
+    PE = ies
+
+    def r(*shape, scale=0.3):
+        return jnp.asarray(rng.randn(*shape) * scale, dtype=jnp.float32)
+
+    residue_idx = jnp.asarray(np.arange(L)[None, :].repeat(B, 0), jnp.int32)
+    args = (r(B, L, D), r(B, L, D), residue_idx, r(B, L, 3, scale=3.0),
+            r(PE, D), r(NB, D), r(D, D), r(D, D),
+            r(D, scale=0.1), r(D, scale=0.1), r(D, scale=0.1),
+            jnp.ones(D) + r(D, scale=0.05), r(D, scale=0.05))
+    kw = dict(min_bin=1e-5, max_bin=20.0, num_bins=NB,
+              init_embed_size=ies, max_len=2056, self_conditioning=True)
+    w = r(B, L, L, D)
+
+    def loss_ref(*a):
+        o = EE.edge_embed_reference(*a, **kw)
+        return jnp.sum(o * w + 0.3 * o ** 2)
+
+    def loss_kern(*a):
+        o = EE.edge_embed(*a, kw["min_bin"], kw["max_bin"], kw["num_bins"],
+                          kw["init_embed_size"], kw["max_len"],
+                          kw["self_conditioning"])
+        return jnp.sum(o * w + 0.3 * o ** 2)
+
+    argnums = (0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    g_ref = jax.grad(loss_ref, argnums)(*args)
+    old = EE._FORCE_QB
+    EE._FORCE_QB = 16
+    try:
+        with _interpret_ctx():
+            g_k = jax.grad(loss_kern, argnums)(*args)
+    finally:
+        EE._FORCE_QB = old
+    for i, (a, b) in enumerate(zip(g_ref, g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_trunk_mega_fusion_matches_xla_paths(rng):
+    """Edge-stack mega-fusion (EdgeTransition kernel emits the next block's
+    fused z projection; attention consumes it without reading z): trunk
+    forward AND grads match the plain XLA path."""
+    from str2str_tpu.model.ipa import TranslationIPA
+    from str2str_tpu.ops import ipa_attention as IA
+    from str2str_tpu.geometry import rotations as R
+
+    B, L, cs, cz = 1, 16, 32, 16
+    node = jnp.asarray(rng.randn(B, L, cs), jnp.float32)
+    edge = jnp.asarray(rng.randn(B, L, L, cz), jnp.float32)
+    rig = np.zeros((B, L, 7), np.float32)
+    rig[..., :4] = np.asarray(R.random_quat(jax.random.PRNGKey(0), (B, L)))
+    rig[..., 4:] = rng.randn(B, L, 3) * 4
+    rig = jnp.asarray(rig)
+    mask = np.ones((B, L), np.float32)
+    mask[:, -3:] = 0
+    mask = jnp.asarray(mask)
+    fixed = jnp.zeros((B, L), jnp.float32)
+    m = np.asarray(mask)[..., None]
+
+    kw = dict(c_s=cs, c_z=cz, no_ipa_blocks=3, skip_embed_size=8,
+              transformer_num_heads=2, transformer_num_layers=1,
+              c_hidden=16, no_heads=4, no_qk_points=4, no_v_points=6,
+              dropout=0.0)
+    off = TranslationIPA(use_pallas="off", use_pallas_ipa="off", **kw)
+    params = off.init(jax.random.PRNGKey(1), node, edge, rig, mask, fixed)
+    on = TranslationIPA(use_pallas="on", use_pallas_ipa="on", **kw)
+
+    def loss(p, mod):
+        out = mod.apply(p, node, edge, rig, mask, fixed)
+        return (jnp.sum((out["trans"] * m) ** 2) * 1e-4
+                + jnp.sum((out["quat"] * m) ** 2)
+                + jnp.sum((out["psi"] * m) ** 2))
+
+    out_off = off.apply(params, node, edge, rig, mask, fixed)
+    g_off = jax.grad(loss)(params, off)
+    old = IA._FORCE_QB
+    IA._FORCE_QB = 8
+    try:
+        with _interpret_ctx():
+            out_on = on.apply(params, node, edge, rig, mask, fixed)
+            g_on = jax.grad(loss)(params, on)
+    finally:
+        IA._FORCE_QB = old
+
+    for key in ("quat", "trans", "psi"):
+        np.testing.assert_allclose(
+            np.asarray(out_off[key]) * m, np.asarray(out_on[key]) * m,
+            atol=5e-4, rtol=5e-4, err_msg=key)
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_off)[0],
+            jax.tree_util.tree_flatten_with_path(g_on)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-2,
+            err_msg=jax.tree_util.keystr(k1))
