@@ -8,11 +8,17 @@ to conformations/sec under the reference sampling protocol (delta grid
 init + final prediction pass per replica — ~477 NFEs per conformation;
 reference diffusion_module.py:229-351).
 
-vs_baseline: ratio against the reference PyTorch implementation's measured
-NFE rate on this host (cached in BASELINE_MEASURED.json; measured once on
-CPU with the same network config and batched extrapolation).
+vs_baseline: the roofline-derived bound on the reference's A100 throughput
+ratio (no CUDA device exists in this environment): the reference's fp32
+eager graph moves >= 4x the bytes of this fused bf16 graph, so on an
+A100-80G (2.0 TB/s) its BEST-CASE rate is (4 x 11.4 GB)/2.0 TB/s ~= 350
+NFE/s; vs_baseline = measured_NFE_rate / 350 (see BASELINE.md "vs-A100
+bound"). The raw host-CPU torch ratio (four orders of magnitude, not a
+like-for-like chip comparison) is reported separately as
+`vs_host_cpu_torch`.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "vs_host_cpu_torch", "nfe_per_sec"}.
 """
 from __future__ import annotations
 
@@ -182,16 +188,25 @@ def measure_torch_baseline_nfe_rate() -> float | None:
         return None
 
 
+# Roofline bound on the reference's A100 NFE rate (BASELINE.md "vs-A100
+# bound"): >= 4x our bytes/forward (fp32 + eager materialization) on a
+# 2.0 TB/s chip -> <= ~350 NFE/s best case at B=8 L=256.
+A100_BOUND_NFE_PER_SEC = 350.0
+
+
 def main():
     nfe_rate = measure_tpu_nfe_rate()
     conf_per_sec = nfe_rate / NFE_PER_CONF
     base_rate = measure_torch_baseline_nfe_rate()
-    vs = (nfe_rate / base_rate) if base_rate else None
+    vs_cpu = (nfe_rate / base_rate) if base_rate else None
     print(json.dumps({
         "metric": f"conformations/sec/chip @ L={L} (reference delta-grid protocol)",
         "value": round(conf_per_sec, 4),
         "unit": "conf/s",
-        "vs_baseline": round(vs, 2) if vs else None,
+        # per-chip lower bound vs the reference's best-case A100 roofline
+        "vs_baseline": round(nfe_rate / A100_BOUND_NFE_PER_SEC, 2),
+        "vs_host_cpu_torch": round(vs_cpu, 2) if vs_cpu else None,
+        "nfe_per_sec": round(nfe_rate, 1),
     }))
 
 

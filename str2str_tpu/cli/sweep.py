@@ -73,6 +73,102 @@ def sample(space: Dict[str, dict], rng: np.random.RandomState) -> Dict[str, Any]
     return out
 
 
+class TPESampler:
+    """First-party Tree-structured Parzen Estimator (adaptive sampler;
+    the in-image replacement for the reference's Optuna TPESampler,
+    configs/hparams_search/optuna.yaml:17-21).
+
+    Univariate TPE per parameter (Optuna's default independent mode):
+    observed trials split into the best `gamma` fraction ("good") and the
+    rest; numeric parameters are proposed from a Parzen (gaussian-mixture)
+    estimate of the good values and ranked by the density ratio
+    l_good(x)/l_bad(x); categorical parameters use smoothed count weights.
+    The first `n_startup` trials are random."""
+
+    def __init__(self, space: Dict[str, dict], rng: np.random.RandomState,
+                 direction_sign: float, n_startup: int = 8,
+                 gamma: float = 0.25, n_candidates: int = 24):
+        self.space = space
+        self.rng = rng
+        self.sign = direction_sign
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.history: List[tuple] = []   # (params_dict, signed_value)
+
+    def tell(self, params: Dict[str, Any], value: float):
+        if np.isfinite(value):
+            self.history.append((params, self.sign * value))
+
+    # -- numeric Parzen helpers -------------------------------------------
+    @staticmethod
+    def _to_unit(s, v):
+        if s.get("log"):
+            return (math.log(float(v)) - math.log(s["lo"])) / (
+                math.log(s["hi"]) - math.log(s["lo"]))
+        return (float(v) - s["lo"]) / (s["hi"] - s["lo"])
+
+    @staticmethod
+    def _from_unit(s, u):
+        u = min(max(u, 0.0), 1.0)
+        if s.get("log"):
+            return float(np.exp(math.log(s["lo"])
+                                + u * (math.log(s["hi"]) - math.log(s["lo"]))))
+        return float(s["lo"] + u * (s["hi"] - s["lo"]))
+
+    @staticmethod
+    def _parzen_logpdf(x: float, obs: np.ndarray) -> float:
+        # Mixture of gaussians at each observation; bandwidth by the
+        # 1.06*sigma*n^-1/5 rule with a floor, plus a uniform component.
+        n = len(obs)
+        bw = max(1.06 * (np.std(obs) + 1e-3) * n ** -0.2, 0.05)
+        comp = -0.5 * ((x - obs) / bw) ** 2 - math.log(bw * math.sqrt(2 * math.pi))
+        comp = np.concatenate([comp, [0.0]])  # uniform prior on [0,1]
+        m = float(np.max(comp))
+        return m + math.log(float(np.sum(np.exp(comp - m))) / (n + 1))
+
+    def suggest(self) -> Dict[str, Any]:
+        if len(self.history) < self.n_startup:
+            return sample(self.space, self.rng)
+        hist = sorted(self.history, key=lambda pv: pv[1])
+        n_good = max(1, int(math.ceil(self.gamma * len(hist))))
+        good, bad = hist[:n_good], hist[n_good:] or hist[-1:]
+        out = {}
+        for key, s in self.space.items():
+            gvals = [p[key] for p, _ in good if key in p]
+            bvals = [p[key] for p, _ in bad if key in p]
+            if s["kind"] == "interval":
+                g = np.asarray([self._to_unit(s, v) for v in gvals])
+                b = np.asarray([self._to_unit(s, v) for v in bvals])
+                n = len(g)
+                bw = max(1.06 * (np.std(g) + 1e-3) * n ** -0.2, 0.05)
+                cand = []
+                for _ in range(self.n_candidates):
+                    if self.rng.rand() < 1.0 / (n + 1):
+                        u = self.rng.rand()           # prior component
+                    else:
+                        u = float(g[self.rng.randint(n)]
+                                  + bw * self.rng.randn())
+                    u = min(max(u, 0.0), 1.0)
+                    cand.append(u)
+                scores = [self._parzen_logpdf(u, g) - self._parzen_logpdf(u, b)
+                          for u in cand]
+                out[key] = self._from_unit(s, cand[int(np.argmax(scores))])
+            else:
+                values = (s["values"] if s["kind"] == "choice"
+                          else list(range(s["lo"], s["hi"] + 1)))
+                strv = [str(v) for v in values]
+                gc = np.asarray([1.0 + sum(str(v) == sv for v in gvals)
+                                 for sv in strv])
+                bc = np.asarray([1.0 + sum(str(v) == sv for v in bvals)
+                                 for sv in strv])
+                w = (gc / gc.sum()) / (bc / bc.sum())
+                w = w / w.sum()
+                pick = values[int(self.rng.choice(len(values), p=w))]
+                out[key] = pick if s["kind"] == "choice" else int(pick)
+        return out
+
+
 def grid(space: Dict[str, dict]) -> List[Dict[str, Any]]:
     import itertools
     axes = []
@@ -105,7 +201,8 @@ def main(argv=None):
     ap.add_argument("--metric", default="val/loss")
     ap.add_argument("--direction", choices=("minimize", "maximize"),
                     default="minimize")
-    ap.add_argument("--sampler", choices=("random", "grid"), default="random")
+    ap.add_argument("--sampler", choices=("random", "grid", "tpe"),
+                    default="random")
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--param", action="append", default=[],
                     help="search-space spec key=interval(..)|choice(..)|range(..)")
@@ -131,16 +228,22 @@ def main(argv=None):
 
     space = parse_space(args.param)
     rng = np.random.RandomState(args.seed)
-    trials = (grid(space) if args.sampler == "grid"
-              else [sample(space, rng) for _ in range(args.n_trials)])
-    trials = trials[: args.n_trials]
+    sign = 1.0 if args.direction == "minimize" else -1.0
+    tpe = (TPESampler(space, rng, sign) if args.sampler == "tpe" else None)
+    if args.sampler == "grid":
+        trials = grid(space)[: args.n_trials]
+    elif args.sampler == "tpe":
+        trials = [None] * args.n_trials  # suggested adaptively below
+    else:
+        trials = [sample(space, rng) for _ in range(args.n_trials)]
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    sign = 1.0 if args.direction == "minimize" else -1.0
     best, best_params = float("inf"), None
     rows = []
     for i, params in enumerate(trials):
+        if tpe is not None:
+            params = tpe.suggest()
         overrides = args.fixed + [f"{k}={v}" for k, v in params.items()]
         log.info(f"trial {i + 1}/{len(trials)}: {params}")
         try:
@@ -148,6 +251,8 @@ def main(argv=None):
         except Exception as e:  # a failed trial must not kill the sweep
             log.warning(f"trial {i + 1} failed: {e}")
             value = float("nan")
+        if tpe is not None:
+            tpe.tell(params, value)
         rows.append({"trial": i, **params, args.metric: value})
         if np.isfinite(value) and sign * value < best:
             best, best_params = sign * value, params

@@ -105,6 +105,16 @@ def _deep_merge(base: dict, extra: dict) -> dict:
 
 _INTERP = re.compile(r"\$\{([^}]+)\}")
 
+_RUN_TS: Dict[str, str] = {}
+
+
+def _run_timestamp(fmt: str) -> str:
+    """Timestamp frozen at first use per format (one run dir per process)."""
+    if fmt not in _RUN_TS:
+        import datetime
+        _RUN_TS[fmt] = datetime.datetime.now().strftime(fmt)
+    return _RUN_TS[fmt]
+
 
 def _interpolate(node: Any, root: Config) -> Any:
     if isinstance(node, dict):
@@ -120,6 +130,11 @@ def _interpolate(node: Any, root: Config) -> Any:
             body = expr.split(":", 1)[1]
             var, _, default = body.partition(",")
             return os.environ.get(var.strip(), default.strip() or None)
+        if expr.startswith("now:"):
+            # Hydra-style run timestamp (reference configs/hydra/default.yaml
+            # run-dir pattern); one value per process so every path sharing
+            # the interpolation lands in the same run directory.
+            return _run_timestamp(expr.split(":", 1)[1] or "%Y-%m-%d_%H-%M-%S")
         val = root.get_path(expr)
         if isinstance(val, str) and _INTERP.search(val):
             val = _interpolate(val, root)

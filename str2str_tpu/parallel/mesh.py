@@ -80,12 +80,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _place(v, sh: NamedSharding):
+    """Place one host array under a global sharding.
+
+    Single-process: plain device_put. Multi-process (jax.distributed): the
+    host holds only ITS slice of the global batch (per-process batch
+    division, reference protein_datamodule.py:160-166), so the global array
+    is assembled from per-process shards with
+    `jax.make_array_from_process_local_data` — device_put with a global
+    NamedSharding would require the full global array on every host."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(v))
+    return jax.device_put(v, sh)
+
+
 def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch of stacked micro-batches (K, B, ...) with the
     SECOND axis sharded over the data mesh (the leading K axis is scanned
     on-device by Trainer.train_steps_scan)."""
     sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    return {k: (jax.device_put(v, sh) if hasattr(v, "shape")
+    return {k: (_place(v, sh) if hasattr(v, "shape")
                 and getattr(v, "ndim", 0) > 1 else v)
             for k, v in batch.items()}
 
@@ -93,6 +107,6 @@ def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch with its leading axis sharded over the mesh."""
     sh = batch_sharding(mesh)
-    return {k: (jax.device_put(v, sh) if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
+    return {k: (_place(v, sh) if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
                 else v)
             for k, v in batch.items()}

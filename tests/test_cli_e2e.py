@@ -171,3 +171,46 @@ def test_config_tree_dump(tmp_path):
     dump_config_tree(cfg, str(tmp_path))
     text = (tmp_path / "config_tree.log").read_text()
     assert "model:" in text and "node_embed_size: 256" in text
+
+
+def test_tpe_sampler_concentrates_on_optimum():
+    """The first-party TPE sampler (reference Optuna-TPESampler equivalent,
+    configs/hparams_search/optuna.yaml:17-21) must adaptively concentrate
+    proposals near the optimum of a smooth 1-D objective."""
+    import numpy as np
+    from str2str_tpu.cli.sweep import TPESampler, parse_space
+
+    space = parse_space(["x=interval(0.0, 1.0)"])
+    rng = np.random.RandomState(0)
+    tpe = TPESampler(space, rng, direction_sign=1.0, n_startup=8)
+
+    def f(x):
+        return (x - 0.3) ** 2
+
+    proposals = []
+    for i in range(60):
+        p = tpe.suggest()
+        proposals.append(p["x"])
+        tpe.tell(p, f(p["x"]))
+
+    early = np.asarray(proposals[:10])
+    late = np.asarray(proposals[-20:])
+    # Late proposals should be much closer to the optimum than the random
+    # startup phase, and best-found should be near 0.3.
+    assert np.mean(np.abs(late - 0.3)) < np.mean(np.abs(early - 0.3)) * 0.7
+    best = min(proposals, key=f)
+    assert abs(best - 0.3) < 0.05
+
+
+def test_tpe_sampler_categorical():
+    import numpy as np
+    from str2str_tpu.cli.sweep import TPESampler, parse_space
+
+    space = parse_space(["b=choice(1, 2, 4, 8)"])
+    rng = np.random.RandomState(1)
+    tpe = TPESampler(space, rng, direction_sign=1.0, n_startup=6)
+    for i in range(40):
+        p = tpe.suggest()
+        tpe.tell(p, 0.0 if p["b"] == "4" else 1.0)
+    late = [tpe.suggest()["b"] for _ in range(20)]
+    assert late.count("4") >= 12, late
