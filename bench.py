@@ -36,7 +36,7 @@ sys.path.insert(0, str(REPO))
 from str2str_tpu.utils.jax_setup import setup as _jax_setup
 _jax_setup()
 
-L = 256                  # benchmark sequence length
+L = int(os.environ.get("BENCH_LEN", "256"))   # benchmark sequence length
 B = int(os.environ.get("BENCH_BATCH", "8"))   # replicas per device batch
 T_BENCH = int(os.environ.get("BENCH_STEPS", "200"))  # timed anneal steps
 DELTA = 0.5
@@ -49,14 +49,13 @@ NFE_PER_CONF = (sum(int(1000 * d) for d in DELTAS) + 2 * len(DELTAS)) / len(DELT
 BASELINE_FILE = REPO / "BASELINE_MEASURED.json"
 
 
-def synthetic_protein(n: int, seed: int = 0):
-    """Random-walk backbone with idealized geometry, featurized + padded."""
+def synthetic_protein_object(n: int, seed: int = 0):
+    """Random-walk backbone with idealized geometry as a Protein object."""
     import jax.numpy as jnp
     from str2str_tpu.geometry import rotations as R
     from str2str_tpu.geometry.frames import compute_backbone
     from str2str_tpu.geometry.rigid import Rigid
     from str2str_tpu.io.protein import Protein
-    from str2str_tpu.data.featurize import FeaturizeConfig, featurize_padded
 
     rng = np.random.RandomState(seed)
     # Smooth random-walk frames (~3.8 A CA steps).
@@ -71,13 +70,19 @@ def synthetic_protein(n: int, seed: int = 0):
     atom37, mask37, _ = compute_backbone(
         Rigid(jnp.asarray(rot), jnp.asarray(trans)), jnp.asarray(psi),
         jnp.asarray(aatype))
-    prot = Protein(
+    return Protein(
         atom_positions=np.asarray(atom37, np.float32),
         atom_mask=np.asarray(mask37, np.float32),
         aatype=aatype,
         residue_index=np.arange(1, n + 1, dtype=np.int32),
         chain_index=np.zeros(n, np.int32),
         b_factors=np.zeros((n, 37), np.float32))
+
+
+def synthetic_protein(n: int, seed: int = 0):
+    """Random-walk backbone, featurized + padded to bucket n."""
+    from str2str_tpu.data.featurize import FeaturizeConfig, featurize_padded
+    prot = synthetic_protein_object(n, seed)
     return featurize_padded(prot, FeaturizeConfig(
         strip_missing_residues=False, recenter_and_scale=False), bucket=n)
 

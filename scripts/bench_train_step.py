@@ -81,16 +81,16 @@ def measure(use_fused: bool, dtype: str, B: int, L: int, k_lo=4, k_hi=12):
     opt_state = tr.optimizer.init(params)
 
     results = {}
+    # train_steps_scan donates (params, opt_state): always feed the evolved
+    # pair forward, never a consumed buffer.
+    p, o = params, opt_state
     for K in (k_lo, k_hi):
         stacked = {k: np.stack([v] * K) for k, v in batch.items()}
         sharded = mesh_lib.shard_stacked_batch(stacked, tr.mesh)
-        # compile + warmup on a different key than the timed call
-        _, p, o = time_scan(tr, params, opt_state, sharded,
-                            jax.random.PRNGKey(100 + K))
-        dt1, p, o = time_scan(tr, params, opt_state, sharded,
-                              jax.random.PRNGKey(200 + K))
-        dt2, p, o = time_scan(tr, params, opt_state, sharded,
-                              jax.random.PRNGKey(300 + K))
+        # compile + warmup on a different key than the timed calls
+        _, p, o = time_scan(tr, p, o, sharded, jax.random.PRNGKey(100 + K))
+        dt1, p, o = time_scan(tr, p, o, sharded, jax.random.PRNGKey(200 + K))
+        dt2, p, o = time_scan(tr, p, o, sharded, jax.random.PRNGKey(300 + K))
         results[K] = min(dt1, dt2)
         print(f"  [{'fused' if use_fused else 'xla  '}] K={K}: "
               f"{results[K]:.3f}s", flush=True)

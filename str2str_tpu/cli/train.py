@@ -82,7 +82,7 @@ def main(argv=None):
             ckpt_every_n_epochs=tr.get("ckpt_every_n_epochs", 1),
             keep_ckpts=tr.get("keep_ckpts", 3),
             gradient_accumulation=tr.get("gradient_accumulation", 1),
-            use_fused_kernels=tr.get("use_fused_kernels", False),
+            use_fused_kernels=tr.get("use_fused_kernels", True),
             steps_per_call=tr.get("steps_per_call", 1),
             early_stopping_patience=tr.get("early_stopping_patience", -1),
             save_best=tr.get("save_best", True),

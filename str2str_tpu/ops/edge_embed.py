@@ -266,6 +266,14 @@ def edge_embed_reference(row_part, col_part, residue_idx, sc_ca,
 # constant in sc_ca), so the only non-weight grads are the rank-L row/col
 # first-layer contributions.
 
+def _cp(nbytes: int):
+    """Raised scoped-VMEM limit for kernels whose working set exceeds the
+    16 MB compiler default (v5e has 128 MB of physical VMEM)."""
+    if pltpu is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=nbytes)
+
+
 def _bwd_kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
                 scq_ref, sck_ref,
                 krel_ref, kd_ref, k1_ref, k2_ref,
@@ -351,7 +359,8 @@ def _bwd_kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
         preferred_element_type=jnp.float32)
     dh1 = jax.lax.dot_general(dh2c, k2_ref[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dh1 = jnp.where(h1 > 0, dh1, 0.0)
+    # f32 compare: Mosaic on this target rejects bf16 comparisons
+    dh1 = jnp.where(h1.astype(jnp.float32) > 0.0, dh1, 0.0)
     dh1c = dh1.astype(dt)
     db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
 
@@ -361,7 +370,7 @@ def _bwd_kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
         preferred_element_type=jnp.float32)
     dx = jax.lax.dot_general(dh1c, k1_ref[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dx = jnp.where(x2 > 0, dx, 0.0)                       # (Qb*L, D) f32
+    dx = jnp.where(x2.astype(jnp.float32) > 0.0, dx, 0.0)                       # (Qb*L, D) f32
     dxc = dx.astype(dt)
     db0_ref[...] += jnp.sum(dx, axis=0, keepdims=True)
 
@@ -384,7 +393,9 @@ def _pick_bwd_block(L: int, D: int, itemsize: int):
     if _FORCE_QB is not None:
         return _FORCE_QB
     budget = 12 * 1024 * 1024
-    for qb in (32, 16, 8, 4):
+    # Candidates stay multiples of 8 (Mosaic block-shape constraint on the
+    # (1, qb, D) row-grad blocks).
+    for qb in (32, 16, 8):
         if L % qb:
             continue
         cost = (3 * qb * L * 128 * 4          # sinusoid f32 temps (lane-pad)
@@ -432,6 +443,7 @@ def edge_embed_bwd_pallas(row_part, col_part, residue_idx, sc_ca,
                              eps=eps)
     return pl.pallas_call(
         kern,
+        compiler_params=_cp(64 * 1024 * 1024),
         grid=(B, L // qb),
         in_specs=[
             pl.BlockSpec((1, qb, D), lambda b, i: (b, i, 0)),

@@ -45,6 +45,14 @@ def is_supported() -> bool:
         return False
 
 
+def _cp(nbytes: int):
+    """Raised scoped-VMEM limit for kernels whose working set exceeds the
+    16 MB compiler default (v5e has 128 MB of physical VMEM)."""
+    if pltpu is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=nbytes)
+
+
 def _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
                   k1z_ref, k2_ref, kfh_ref, kfz_ref,
                   b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
@@ -183,6 +191,7 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     args += [wcatT.astype(dt), bcat.reshape(1, -1).astype(jnp.float32)]
     return pl.pallas_call(
         functools.partial(_kernel_proj, eps=eps),
+        compiler_params=_cp(32 * 1024 * 1024),
         grid=(B, L // rb),
         in_specs=in_specs,
         out_specs=[
@@ -300,7 +309,8 @@ def _bwd_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     # d_h2 = d_y @ Kf_h^T   (contract-dim1/dim1)
     dh2 = jax.lax.dot_general(dyc, kfh_ref[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dh2 = jnp.where(h2 > 0, dh2, 0.0)
+    # f32 compare: Mosaic on this target rejects bf16 comparisons
+    dh2 = jnp.where(h2.astype(jnp.float32) > 0.0, dh2, 0.0)
     dh2c = dh2.astype(dt)
     db2_ref[...] += jnp.sum(dh2, axis=0, keepdims=True)
     # d_Kf_h += h2^T @ d_y  (contract rows)
@@ -314,7 +324,7 @@ def _bwd_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     # ---- second trunk layer backward -----------------------------------
     dh1 = jax.lax.dot_general(dh2c, k2_ref[:], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dh1 = jnp.where(h1_2 > 0, dh1, 0.0)
+    dh1 = jnp.where(h1_2.astype(jnp.float32) > 0.0, dh1, 0.0)
     dh1c = dh1.astype(dt)
     db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
     dk2_ref[...] += jax.lax.dot_general(
@@ -350,12 +360,14 @@ def _bwd_kernel_proj(*refs, eps: float):
 
 
 def _pick_bwd_row_block(L: int, Cz: int, H: int, Cout: int, itemsize: int):
-    """Largest row block whose backward working set fits scoped VMEM."""
+    """Largest row block whose backward working set fits scoped VMEM.
+    Candidates stay multiples of 8 (Mosaic block-shape constraint on the
+    (1, rb, H) node-grad blocks) unless rb == L (full-dim blocks)."""
     budget = 13 * 1024 * 1024
     fixed = ((L * H + L * Cout) * 4 * 2      # nj1/nfj in + dnj1/dnfj accum
              + (Cz * H + H * H + H * Cout + Cz * Cout) * (itemsize + 4))
-    for rb in (16, 8, 4, 2, 1):
-        if L % rb:
+    for rb in (16, 8):
+        if L % rb and rb != L:
             continue
         per = (2 * rb * L * Cz * itemsize        # z block (double-buffered)
                + 2 * rb * L * Cout * itemsize    # dout block
@@ -365,7 +377,7 @@ def _pick_bwd_row_block(L: int, Cz: int, H: int, Cout: int, itemsize: int):
                + 3 * rb * L * H * 4)             # dh1/dh2 f32 (liveness)
         if fixed + per <= budget:
             return rb
-    return 1
+    return 8 if L % 8 == 0 else L
 
 
 def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
@@ -437,6 +449,7 @@ def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
         ]
     outs = pl.pallas_call(
         functools.partial(kern, eps=eps),
+        compiler_params=_cp(64 * 1024 * 1024),
         grid=(B, L // rb),
         in_specs=in_specs,
         out_specs=[

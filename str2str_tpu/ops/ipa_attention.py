@@ -36,7 +36,8 @@ Division of labor (what made this fast where two earlier versions were not):
 Training: the custom_vjp boundary sits at the KERNEL CORE
 (`_attn_core(qhat, khat, v4, vf4, proj)`), whose backward is a hand-written
 Pallas kernel that recomputes the softmax in VMEM (storing nothing but the
-kernel's own inputs) and accumulates dK/dV/dVf across query blocks in fp32.
+kernel's own inputs), one (batch, head) per program with the full query
+axis resident — see `_bwd_kernel`.
 The XLA prep (head-major packing, folded scalings, the fused z projection)
 stays ordinary differentiable JAX, so gradients w.r.t. q/k/v/points/z and
 all projection weights fall out of autodiff of O(L)-sized code plus one
@@ -86,6 +87,14 @@ def is_supported() -> bool:
 # forward kernel
 # ---------------------------------------------------------------------------
 
+def _cp(nbytes: int):
+    """Raised scoped-VMEM limit for kernels whose working set exceeds the
+    16 MB compiler default (v5e has 128 MB of physical VMEM)."""
+    if pltpu is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=nbytes)
+
+
 def _fwd_kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
                 o_ref, opt_ref, opair_ref, *, H: int, Cdz: int):
     """Shapes per program (Qb query rows, full-L keys):
@@ -134,84 +143,66 @@ def _fwd_kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(qhat_ref, qhatT_ref, khat_ref, v_ref, vf_ref, proj_ref,
-                do_ref, doT_ref, dopt_ref, doptT_ref, dopair_ref,
-                dqhat_ref, dkhat_ref, dvT_ref, dvf_ref, dproj_ref,
+def _bwd_kernel(qhat_ref, qhatT_ref, khat_ref, v_ref, vf_ref,
+                biasT_ref, dp_pair_ref,
+                do_ref, doT_ref, dopt_ref, doptT_ref,
+                dqhat_ref, dkhat_ref, dvT_ref, dvf_ref, p_ref, dl_ref,
                 *, H: int, Cdz: int):
-    """Recompute-softmax backward over one query block (full-L keys).
+    """Recompute-softmax backward, one (batch row, head) per program with
+    the FULL query axis resident — no cross-program accumulators, and every
+    operand block's trailing two dims are full array dims (the Mosaic
+    block-shape constraint rules out qb-wide trailing dims).
 
-    Extra inputs vs forward: qhatT (1,H,D+2,Qb), doT (1,H,C,Qb),
-    doptT (1,H,3Pv,Qb) — XLA-side transposes so every matmul below is in a
-    Mosaic-fast form; dopair (1,Qb,H,Cdz) cotangent.
+    XLA-side prep supplies the operand transposes (qhatT, doT, doptT — so
+    every matmul is natural (M,K)x(K,N) or contract-dim1/dim1), the
+    per-head bias slice biasT (B,H,Q,L), and the o_pair dp-contribution
+    dp_pair[b,h,q,l] = sum_c dopair[b,q,h,c]*pz[b,q,c,l].
 
-    Outputs: dqhat (1,H,Qb,D+2) and dproj (1,Qb,Cdz+H,L) are query-indexed;
-    dkhat (1,H,D+2,L), dvT (1,H,C,L), dvf (1,H,3Pv,L) are fp32 accumulators
-    revisited across the (sequential) query-block grid axis: zeroed at the
-    first block of each batch row, then add-updated.
+    The kernel also emits the attention weights p and logit-cotangents dl
+    (both (B,H,Q,L), value dtype); XLA assembles dproj from them (dpz via
+    one einsum with dopair + the bias rows) — cheaper than carrying the
+    (Q, Cdz+H, L) assembly in VMEM.
     """
     dt = v_ref.dtype
-    first = pl.program_id(1) == 0
 
-    @pl.when(first)
-    def _zero():
-        dkhat_ref[...] = jnp.zeros(dkhat_ref.shape, dkhat_ref.dtype)
-        dvT_ref[...] = jnp.zeros(dvT_ref.shape, dvT_ref.dtype)
-        dvf_ref[...] = jnp.zeros(dvf_ref.shape, dvf_ref.dtype)
+    logits = jnp.dot(qhat_ref[0, 0], khat_ref[0, 0],
+                     preferred_element_type=jnp.float32)      # (Q, L)
+    logits = logits + biasT_ref[0, 0].astype(jnp.float32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    pf = e / jnp.sum(e, axis=-1, keepdims=True)               # (Q, L) f32
+    p = pf.astype(dt)
+    p_ref[0, 0] = p
 
-    pz = proj_ref[0][:, :Cdz, :]                       # (Qb, Cdz, L)
-    # dp contribution from o_pair, all heads at once (leading-batch MXU):
-    # dp_pair[q, h, l] = sum_c dopair[q, h, c] * pz[q, c, l]
-    dp_pair = jax.lax.dot_general(
-        dopair_ref[0], pz, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)            # (Qb, H, L) f32
+    # dp = do @ v^T + dopt @ vf + dp_pair
+    dp = jax.lax.dot_general(
+        do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (Q,C)x(L,C)
+    dp = dp + jnp.dot(dopt_ref[0, 0], vf_ref[0, 0],
+                      preferred_element_type=jnp.float32)
+    dp = dp + dp_pair_ref[0, 0].astype(jnp.float32)
 
-    ps, dls = [], []
-    for h in range(H):
-        logits = jnp.dot(qhat_ref[0, h], khat_ref[0, h],
-                         preferred_element_type=jnp.float32)  # (Qb, L)
-        logits = logits + proj_ref[0][:, Cdz + h, :].astype(jnp.float32)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        pf = e / jnp.sum(e, axis=-1, keepdims=True)    # (Qb, L) f32
-        p = pf.astype(dt)
-        ps.append(p)
+    # softmax VJP
+    dl = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
+    dlc = dl.astype(dt)
+    dl_ref[0, 0] = dlc
 
-        # dp = do @ v^T + dopt @ vf + dp_pair[h]   (all contract-dim1/dim1
-        # or natural (M,K)x(K,N) forms)
-        dp = jax.lax.dot_general(
-            do_ref[0, h], v_ref[0, h], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (Qb,C)x(L,C)->(Qb,L)
-        dp = dp + jnp.dot(dopt_ref[0, h], vf_ref[0, h],
-                          preferred_element_type=jnp.float32)
-        dp = dp + dp_pair[:, h, :]
-
-        # softmax VJP
-        dl = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))  # f32
-        dlc = dl.astype(dt)
-        dls.append(dlc)
-
-        # dqhat = dl @ khat^T  : (Qb,L)x(D2,L) contract-1/1 -> (Qb,D2)
-        dqhat_ref[0, h] = jax.lax.dot_general(
-            dlc, khat_ref[0, h], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dqhat_ref.dtype)
-        # dkhat += qhat^T @ dl : (D2,Qb)x(Qb,L) natural
-        dkhat_ref[0, h] += jnp.dot(qhatT_ref[0, h], dlc,
-                                   preferred_element_type=jnp.float32)
-        # dv^T += do^T @ p     : (C,Qb)x(Qb,L) natural
-        dvT_ref[0, h] += jnp.dot(doT_ref[0, h], p,
-                                 preferred_element_type=jnp.float32)
-        # dvf += dopt^T @ p    : (3Pv,Qb)x(Qb,L) natural
-        dvf_ref[0, h] += jnp.dot(doptT_ref[0, h], p,
-                                 preferred_element_type=jnp.float32)
-
-    p_all = jnp.stack(ps, axis=1)                      # (Qb, H, L)
-    # dpz[q, c, l] = sum_h dopair[q, h, c] * p[q, h, l]
-    dpz = jax.lax.dot_general(
-        dopair_ref[0], p_all, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)            # (Qb, Cdz, L) f32
-    dl_all = jnp.stack(dls, axis=1).astype(jnp.float32)  # (Qb, H, L)
-    dproj_ref[0] = jnp.concatenate([dpz, dl_all], axis=1).astype(
-        dproj_ref.dtype)
+    # dqhat = dl @ khat^T  : (Q,L)x(D2,L) contract-1/1 -> (Q,D2)
+    dqhat_ref[0, 0] = jax.lax.dot_general(
+        dlc, khat_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dqhat_ref.dtype)
+    # dkhat = qhat^T @ dl : (D2,Q)x(Q,L) natural
+    dkhat_ref[0, 0] = jnp.dot(qhatT_ref[0, 0], dlc,
+                              preferred_element_type=jnp.float32
+                              ).astype(dkhat_ref.dtype)
+    # dv^T = do^T @ p     : (C,Q)x(Q,L) natural
+    dvT_ref[0, 0] = jnp.dot(doT_ref[0, 0], p,
+                            preferred_element_type=jnp.float32
+                            ).astype(dvT_ref.dtype)
+    # dvf = dopt^T @ p    : (3Pv,Q)x(Q,L) natural
+    dvf_ref[0, 0] = jnp.dot(doptT_ref[0, 0], p,
+                            preferred_element_type=jnp.float32
+                            ).astype(dvf_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -251,38 +242,23 @@ def _pick_query_block(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
     return None
 
 
-def _pick_query_block_bwd(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
-                          Cdz: int, itemsize: int):
-    """Backward working set: forward residency + fp32 accumulators + the
-    transposed operands + cotangent tiles + stacked f32 temporaries."""
+def _bwd_supported(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
+                   Cdz: int, itemsize: int) -> bool:
+    """Backward VMEM check for the (batch, head) grid: per program the full
+    (Q, L) attention plane plus all per-head operands must fit."""
     if _FORCE_QB is not None:
-        return _FORCE_QB
+        return True
+    if L < 128:
+        return False
     D2 = C + 3 * Pq + 2
-    lanes = 128
-    if L < lanes:
-        return None
-
-    def pad(n):
-        return -(-n // lanes) * lanes
-
-    fixed = (2 * (H * D2 * L + H * L * C + H * (3 * Pv + 8) * L) * itemsize
-             # fp32 accumulators (revisited output blocks, single-buffered)
-             + (H * D2 * L + H * C * L + H * (3 * Pv + 8) * L) * 4)
-    budget = 15 * 1024 * 1024
-    for qb in (64, 32, 16, 8):
-        if qb > Qtot or Qtot % qb:
-            continue
-        per_q = (2 * qb * (Cdz + H) * L * itemsize       # proj tile
-                 + qb * (Cdz + H) * L * 4 * 2            # dproj out (f32)
-                 + 4 * qb * pad(D2) * H * itemsize       # qhat + qhatT
-                 + 2 * qb * pad(D2) * H * 4              # dqhat out (f32)
-                 + 4 * qb * (C + pad(3 * Pv)) * H * itemsize  # do/doT/dopt/doptT
-                 + 2 * qb * pad(Cdz) * H * itemsize      # dopair
-                 + 3 * qb * H * L * 4                    # p_all/dl_all/dp_pair
-                 + 8 * qb * L * 4)                       # per-head f32 temps
-        if fixed + per_q <= budget:
-            return qb
-    return None
+    per = (2 * (Qtot * D2 + D2 * Qtot + D2 * L + L * C + (3 * Pv + 8) * L
+                + 2 * Qtot * L                       # biasT + dp_pair in
+                + 2 * Qtot * (C + 3 * Pv + 16)       # do/doT/dopt/doptT
+                ) * itemsize
+           + (Qtot * D2 + D2 * L + C * L + (3 * Pv + 8) * L) * 4 * 2  # outs
+           + 2 * Qtot * L * itemsize * 2             # p/dl outs
+           + 5 * Qtot * L * 4)                       # f32 temps
+    return per <= 14 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -415,49 +391,67 @@ def _core_fwd_call(qhat, khat, v4, vf4, proj, qb: int):
     )(qhat, khat, v4, vf4, proj)
 
 
-def _core_bwd_call(qhat, khat, v4, vf4, proj, do, dopt, dopair, qb: int):
+def _core_bwd_call(qhat, khat, v4, vf4, proj, do, dopt, dopair):
     B, H, Qtot, D2, L, C, Pv3, Cdz, _ = _core_shapes(qhat, khat, v4, vf4, proj)
     dt = v4.dtype
-    # Operand transposes built by XLA (cheap: node-sized tensors) so every
-    # in-kernel matmul is in a Mosaic-fast form.
+    # XLA-side prep (cheap next to the avoided [B,H,L,L] materializations):
+    # operand transposes so every in-kernel matmul is Mosaic-fast, the
+    # per-head bias planes, and the o_pair contribution to dp.
     qhatT = qhat.transpose(0, 1, 3, 2)
-    doT = do.astype(dt).transpose(0, 1, 3, 2)
-    doptT = dopt.astype(dt).transpose(0, 1, 3, 2)
+    doc = do.astype(dt)
+    doT = doc.transpose(0, 1, 3, 2)
+    doptc = dopt.astype(dt)
+    doptT = doptc.transpose(0, 1, 3, 2)
+    biasT = proj[:, :, Cdz:, :].transpose(0, 2, 1, 3)       # (B, H, Q, L)
+    pz = proj[:, :, :Cdz, :]
+    dopc = dopair.astype(dt)
+    dp_pair = jnp.einsum("bqhc,bqcl->bhql", dopc, pz,
+                         preferred_element_type=jnp.float32).astype(dt)
 
     kern = functools.partial(_bwd_kernel, H=H, Cdz=Cdz)
     f32 = jnp.float32
-    return pl.pallas_call(
+    dqhat, dkhat, dvT, dvf, p_all, dl_all = pl.pallas_call(
         kern,
-        grid=(B, Qtot // qb),
+        compiler_params=_cp(64 * 1024 * 1024),
+        grid=(B, H),
         in_specs=[
-            pl.BlockSpec((1, H, qb, D2), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, D2, qb), lambda b, i: (b, 0, 0, i)),
-            pl.BlockSpec((1, H, D2, L), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, L, C), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, Pv3, L), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, qb, Cdz + H, L), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, H, qb, C), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, C, qb), lambda b, i: (b, 0, 0, i)),
-            pl.BlockSpec((1, H, qb, Pv3), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, Pv3, qb), lambda b, i: (b, 0, 0, i)),
-            pl.BlockSpec((1, qb, H, Cdz), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, Qtot, D2), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, D2, Qtot), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, D2, L), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L, C), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Pv3, L), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Qtot, L), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Qtot, L), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Qtot, C), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, C, Qtot), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Qtot, Pv3), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Pv3, Qtot), lambda b, h: (b, h, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, qb, D2), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, D2, L), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, C, L), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, Pv3, L), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, qb, Cdz + H, L), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, Qtot, D2), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, D2, L), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, C, L), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Pv3, L), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Qtot, L), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Qtot, L), lambda b, h: (b, h, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Qtot, D2), f32),   # dqhat
-            jax.ShapeDtypeStruct((B, H, D2, L), f32),      # dkhat (accum)
-            jax.ShapeDtypeStruct((B, H, C, L), f32),       # dv^T (accum)
-            jax.ShapeDtypeStruct((B, H, Pv3, L), f32),     # dvf (accum)
-            jax.ShapeDtypeStruct((B, Qtot, Cdz + H, L), f32),  # dproj
+            jax.ShapeDtypeStruct((B, H, D2, L), f32),      # dkhat
+            jax.ShapeDtypeStruct((B, H, C, L), f32),       # dv^T
+            jax.ShapeDtypeStruct((B, H, Pv3, L), f32),     # dvf
+            jax.ShapeDtypeStruct((B, H, Qtot, L), dt),     # p
+            jax.ShapeDtypeStruct((B, H, Qtot, L), dt),     # dl
         ],
-    )(qhat, qhatT, khat, v4, vf4, proj, do.astype(dt), doT,
-      dopt.astype(dt), doptT, dopair.astype(dt))
+    )(qhat, qhatT, khat, v4, vf4, biasT, dp_pair,
+      doc, doT, doptc, doptT)
+
+    # dproj assembly (XLA): pz rows from p, bias rows = dl.
+    dpz = jnp.einsum("bqhc,bhql->bqcl", dopc, p_all,
+                     preferred_element_type=jnp.float32)
+    dproj = jnp.concatenate(
+        [dpz, dl_all.transpose(0, 2, 1, 3).astype(jnp.float32)], axis=2)
+    return dqhat, dkhat, dvT, dvf, dproj
 
 
 def _core_reference(qhat, khat, v4, vf4, proj):
@@ -498,13 +492,12 @@ def _attn_core_bwd(res, cts):
     qhat, khat, v4, vf4, proj = res
     do, dopt, dopair = cts
     B, H, Qtot, D2, L, C, Pv3, Cdz, Pq = _core_shapes(qhat, khat, v4, vf4, proj)
-    qb = _pick_query_block_bwd(Qtot, L, H, C, Pq, Pv3 // 3, Cdz,
-                               jnp.dtype(v4.dtype).itemsize)
-    if qb is None:
+    if not _bwd_supported(Qtot, L, H, C, Pq, Pv3 // 3, Cdz,
+                          jnp.dtype(v4.dtype).itemsize):
         _, vjp = jax.vjp(_core_reference, qhat, khat, v4, vf4, proj)
         return vjp(cts)
     dqhat, dkhat, dvT, dvf, dproj = _core_bwd_call(
-        qhat, khat, v4, vf4, proj, do, dopt, dopair, qb)
+        qhat, khat, v4, vf4, proj, do, dopt, dopair)
     return (dqhat.astype(qhat.dtype), dkhat.astype(khat.dtype),
             dvT.transpose(0, 1, 3, 2).astype(v4.dtype),
             dvf.astype(vf4.dtype), dproj.astype(proj.dtype))

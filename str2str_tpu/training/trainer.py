@@ -60,13 +60,13 @@ class TrainConfig:
     # Keep a `best/` checkpoint tracking the lowest val/loss (reference
     # ModelCheckpoint monitor=val/loss, configs/callbacks/default.yaml:8-15).
     save_best: bool = True
-    # Train through the fused Pallas kernels (custom_vjp forwards). The
-    # backwards differentiate the XLA oracle, which re-runs the oracle
-    # forward inside the VJP — measured 1.6x SLOWER per train step at
-    # B=8 L=256 bf16 than the plain XLA path (6.6 -> 10.5 s/step through
-    # the dev tunnel), so training defaults to XLA until hand-written
-    # backward kernels land. Inference always uses the fused kernels.
-    use_fused_kernels: bool = False
+    # Train through the fused Pallas kernels. Round 3: every kernel has a
+    # hand-written Pallas BACKWARD (recompute-in-VMEM, no oracle re-run),
+    # measured 1.97x FASTER per train step than the plain XLA path at
+    # B=8 L=256 bf16 (40.7 vs 80.0 ms/step, scripts/bench_train_step.py),
+    # so fused training is now the default. Set false to force the XLA
+    # paths (e.g. when isolating a kernel suspicion).
+    use_fused_kernels: bool = True
     # Train steps executed per host dispatch: same-shape batches are
     # stacked and scanned on-device (lax.scan), amortizing the per-call
     # pytree marshalling / dispatch latency. 1 = classic per-step loop.
