@@ -79,7 +79,7 @@ def build_sampler(cfg: Config, net=None, diffuser=None) -> Sampler:
 
 
 def load_params(cfg: Config, net: ScoreNetwork, example_batch=None, rng_seed: int = 0):
-    """Load params from cfg.ckpt_path (orbax dir or torch .pth), or random-init."""
+    """Load params from cfg.ckpt_path (orbax dir, torch .pth, or .npz), or random-init."""
     import jax
 
     ckpt_path = cfg.get("ckpt_path") or ""
@@ -91,6 +91,11 @@ def load_params(cfg: Config, net: ScoreNetwork, example_batch=None, rng_seed: in
         if str(ckpt_path).endswith((".pth", ".pt", ".ckpt")):
             from .utils.torch_convert import load_torch_checkpoint
             return load_torch_checkpoint(str(ckpt_path))
+        if str(ckpt_path).endswith(".npz"):
+            # Compact committed-weights format (trained in-repo checkpoint).
+            import numpy as np
+            from .utils.checkpoints import load_params_npz
+            return load_params_npz(str(ckpt_path), cast=np.float32)
         from .utils.checkpoints import load_checkpoint
         return load_checkpoint(str(ckpt_path))["params"]
     if example_batch is None:

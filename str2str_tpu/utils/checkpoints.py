@@ -85,3 +85,54 @@ def prune_checkpoints(ckpt_dir: str, keep: int):
                    key=lambda p: int(p.name.split("_")[1]))
     for p in cands[:-keep] if keep > 0 else []:
         shutil.rmtree(p, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Compact committed-weights format: a single .npz of flattened param paths.
+# Used for the in-repo trained checkpoint fixture (orbax dirs are great for
+# resume state but unwieldy as repo artifacts).
+
+def save_params_npz(params, path: str, dtype=None):
+    """Save a params pytree as one .npz keyed by 'a/b/c' paths. dtype
+    (e.g. jnp.bfloat16) optionally downcasts floating leaves for size —
+    bf16 halves the file and is well below the sampler's seed noise."""
+    import jax
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for kp, leaf in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in kp)
+        arr = np.asarray(leaf)
+        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(dtype)
+        out[key] = arr
+    from pathlib import Path as _P
+    _P(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **out)
+
+
+def load_params_npz(path: str, cast=None):
+    """Load a params pytree saved by save_params_npz. cast (e.g.
+    jnp.float32) optionally upcasts floating leaves."""
+    import numpy as np
+
+    import ml_dtypes
+
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = data[key]
+        if arr.dtype.kind == "V" and arr.dtype.itemsize == 2:
+            # bf16 round-trips through np.savez as an opaque 2-byte void.
+            arr = arr.view(ml_dtypes.bfloat16)
+        if cast is not None and (arr.dtype == ml_dtypes.bfloat16
+                                 or np.issubdtype(arr.dtype, np.floating)):
+            arr = arr.astype(cast)
+        node[parts[-1]] = arr
+    return tree

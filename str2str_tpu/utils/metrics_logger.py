@@ -30,12 +30,33 @@ class CSVLogger:
         self._fields: Optional[List[str]] = None
 
     def log_metrics(self, row: Dict[str, Any], step: Optional[int] = None):
+        """Append a row, keeping ONE consistent header: rows may carry
+        different key sets (train metrics every N steps, val metrics every
+        M epochs), so when new columns appear the file is rewritten with
+        the union header (cheap: epoch-cadence logging)."""
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        exists = self.path.exists()
+        if self._fields is None and self.path.exists():
+            with open(self.path, newline="") as f:
+                r = csv.reader(f)
+                self._fields = next(r, None) or None
+        fields = self._fields or []
+        new = [k for k in row.keys() if k not in fields]
+        if new:
+            fields = fields + new
+            if self.path.exists() and self._fields:
+                with open(self.path, newline="") as f:
+                    old_rows = list(csv.DictReader(f))
+                with open(self.path, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=fields, restval="")
+                    w.writeheader()
+                    w.writerows(old_rows)
+            else:
+                with open(self.path, "w", newline="") as f:
+                    csv.DictWriter(f, fieldnames=fields).writeheader()
+            self._fields = fields
         with open(self.path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(row.keys()))
-            if not exists:
-                w.writeheader()
+            w = csv.DictWriter(f, fieldnames=fields, restval="",
+                               extrasaction="ignore")
             w.writerow(row)
 
     def log_hyperparams(self, params: Dict[str, Any]):
