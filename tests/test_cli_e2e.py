@@ -214,3 +214,48 @@ def test_tpe_sampler_categorical():
         tpe.tell(p, 0.0 if p["b"] == "4" else 1.0)
     late = [tpe.suggest()["b"] for _ in range(20)]
     assert late.count("4") >= 12, late
+
+
+def test_trained_checkpoint_fixture_samples(tmp_path, fixture_pdb):
+    """The committed trained checkpoint (checkpoints/trained_r3.npz, best
+    val/loss 3.11 at epoch 389 of the round-3 training run on the 13
+    in-repo targets) loads through factory.load_params and drives a short
+    sampling run to finite structures."""
+    import numpy as np
+    import jax
+    from str2str_tpu.config.core import load_config
+    from str2str_tpu.data.featurize import FeaturizeConfig, featurize_padded
+    from str2str_tpu.factory import (build_diffuser, build_network,
+                                     build_sampler, load_params)
+    from str2str_tpu.io import protein as prot_io
+    from str2str_tpu.sampling.sampler import build_schedule
+
+    from pathlib import Path
+    ckpt = Path(__file__).resolve().parents[1] / "checkpoints/trained_r3.npz"
+    assert ckpt.exists()
+    cfg = load_config("eval", [f"ckpt_path={ckpt}",
+                               "model.inference.num_timesteps=8",
+                               "model.inference.replica_per_batch=2"])
+    net = build_network(cfg)
+    sampler = build_sampler(cfg, net, build_diffuser(cfg))
+    prot = prot_io.from_pdb_string(fixture_pdb.read_text())
+    feats = featurize_padded(
+        prot, FeaturizeConfig(strip_missing_residues=True,
+                              recenter_and_scale=False), bucket=16)
+    params = load_params(cfg, net)
+
+    # param tree must match the network's own structure exactly
+    from str2str_tpu.cli.sample import example_net_batch
+    ref = net.init(jax.random.PRNGKey(0), example_net_batch(feats))
+    ref_paths = {jax.tree_util.keystr(k): v.shape for k, v in
+                 jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_paths = {jax.tree_util.keystr(k): v.shape for k, v in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths
+
+    ts, dt, active = build_schedule(np.asarray([0.3, 0.5], np.float32), 8, 0.01)
+    batch = {k: np.broadcast_to(v, (2,) + v.shape)
+             for k, v in feats.items() if isinstance(v, np.ndarray)}
+    out = sampler.run(params, jax.random.PRNGKey(0), batch, ts, dt, active)
+    a37 = np.asarray(out["atom37"])
+    assert np.isfinite(a37).all()
