@@ -176,6 +176,7 @@ def edge_embed_pallas(row_part, col_part, residue_idx, sc_ca,
     kern = functools.partial(_kernel, self_cond=self_conditioning, eps=eps)
     return pl.pallas_call(
         kern,
+        compiler_params=_cp(32 * 1024 * 1024),
         grid=(B, L // qb),
         in_specs=[
             pl.BlockSpec((1, qb, D), lambda b, i: (b, i, 0)),

@@ -176,6 +176,7 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     if proj_w is None:
         return pl.pallas_call(
             functools.partial(_kernel, eps=eps),
+            compiler_params=_cp(32 * 1024 * 1024),
             grid=(B, L // rb),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),

@@ -370,6 +370,7 @@ def _core_fwd_call(qhat, khat, v4, vf4, proj, qb: int):
     kern = functools.partial(_fwd_kernel, H=H, Cdz=Cdz)
     return pl.pallas_call(
         kern,
+        compiler_params=_cp(32 * 1024 * 1024),
         grid=(B, Qtot // qb),
         in_specs=[
             pl.BlockSpec((1, H, qb, D2), lambda b, i: (b, 0, i, 0)),
