@@ -75,9 +75,11 @@ class EdgeEmbedder(nn.Module):
     seq_axis: str = ""
 
     @nn.compact
-    def __call__(self, t_feats, residue_idx, sc_ca):
+    def __call__(self, t_feats, residue_idx, sc_ca, proj_w=None):
         """t_feats: (B, L, t_feat_dim); residue_idx: (B, L) int;
-        sc_ca: (B, L, 3). Returns (B, L, L, edge_embed_size)."""
+        sc_ca: (B, L, 3). Returns (B, L, L, edge_embed_size); with proj_w
+        (IPA block 0's fused z-projection weights) given, returns
+        (z0, proj0) with proj0 emitted inside the kernel (mega-fusion)."""
         d = self.edge_embed_size
         tf, pe, nb = self.t_feat_dim, self.pos_embed_size, self.num_bins
         self_cond = self.self_conditioning
@@ -122,10 +124,25 @@ class EdgeEmbedder(nn.Module):
                       or (self.use_pallas == "auto" and _ee.is_supported()))
         if use_pallas:
             # custom_vjp: fused Pallas forward, hand-written Pallas backward.
+            if proj_w is not None:
+                return _ee.edge_embed_proj(
+                    row, col, residue_idx, sc_ca.astype(jnp.float32),
+                    krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                    proj_w[0], proj_w[1],
+                    self.min_bin, self.max_bin, nb, pe, self.max_len,
+                    self_cond)
             return _ee.edge_embed(
                 row, col, residue_idx, sc_ca.astype(jnp.float32),
                 krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
                 self.min_bin, self.max_bin, nb, pe, self.max_len, self_cond)
+        if proj_w is not None:
+            return _ee.edge_embed_proj_reference(
+                row, col, residue_idx, sc_ca.astype(jnp.float32),
+                krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                proj_w[0], proj_w[1],
+                min_bin=self.min_bin, max_bin=self.max_bin, num_bins=nb,
+                init_embed_size=pe, max_len=self.max_len,
+                self_conditioning=self_cond)
         return _ee.edge_embed_reference(
             row, col, residue_idx, sc_ca.astype(jnp.float32),
             krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
@@ -147,11 +164,12 @@ class EmbeddingModule(nn.Module):
     seq_axis: str = ""
 
     @nn.compact
-    def __call__(self, residue_idx, t, fixed_mask, sc_ca_t):
+    def __call__(self, residue_idx, t, fixed_mask, sc_ca_t, proj_w=None):
         """
         residue_idx: (B, L) int; t: (B,); fixed_mask: (B, L);
         sc_ca_t: (B, L, 3) self-conditioning CA coordinates.
-        Returns node (B, L, D_s) and edge (B, L, L, D_z) embeddings.
+        Returns node (B, L, D_s) and edge (B, L, L, D_z) embeddings —
+        plus IPA block 0's fused z projection when proj_w is given.
         """
         B, L = residue_idx.shape
         fixed = fixed_mask.astype(jnp.float32)[..., None]
@@ -166,12 +184,16 @@ class EmbeddingModule(nn.Module):
         node_embed = MLP((self.node_embed_size,) * 3, dtype=self.dtype,
                          name="node_embed")(node_in)
 
-        edge_embed = EdgeEmbedder(
+        edge_out = EdgeEmbedder(
             edge_embed_size=self.edge_embed_size,
             t_feat_dim=t_embed.shape[-1],
             pos_embed_size=self.init_embed_size,
             num_bins=self.num_bins, min_bin=self.min_bin, max_bin=self.max_bin,
             self_conditioning=self.self_conditioning, dtype=self.dtype,
             use_pallas=self.use_pallas, seq_axis=self.seq_axis,
-            name="edge_embed")(t_embed, residue_idx, sc_ca_t.astype(jnp.float32))
-        return node_embed, edge_embed
+            name="edge_embed")(t_embed, residue_idx,
+                               sc_ca_t.astype(jnp.float32), proj_w=proj_w)
+        if proj_w is not None:
+            edge_embed, proj0 = edge_out
+            return node_embed, edge_embed, proj0
+        return node_embed, edge_out

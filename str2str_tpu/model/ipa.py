@@ -248,9 +248,20 @@ class TranslationIPA(nn.Module):
     use_pallas_ipa: str = "auto"
     seq_axis: str = ""
 
+    def setup(self):
+        # Defined in setup so the NETWORK can fold ipa_0's z-projection
+        # weights into the edge-embedder kernel (block-0 mega-fusion)
+        # before this module's __call__ runs.
+        self.ipas = [InvariantPointAttention(
+            c_hidden=self.c_hidden, no_heads=self.no_heads,
+            no_qk_points=self.no_qk_points, no_v_points=self.no_v_points,
+            c_z=self.c_z, dtype=self.dtype, use_pallas=self.use_pallas_ipa,
+            seq_axis=self.seq_axis,
+            name=f"ipa_{b}") for b in range(self.no_ipa_blocks)]
+
     @nn.compact
     def __call__(self, node_embed, edge_embed, rigids_t7, residue_mask,
-                 fixed_mask, deterministic: bool = True):
+                 fixed_mask, deterministic: bool = True, proj0=None):
         node_mask = residue_mask.astype(node_embed.dtype)
         diffuse_mask = (1.0 - fixed_mask.astype(node_embed.dtype)) * node_mask
 
@@ -271,16 +282,10 @@ class TranslationIPA(nn.Module):
         edge_on = (self.use_pallas == "on"
                    or (self.use_pallas == "auto" and _em_ops.is_supported()))
         use_mega = ipa_on and edge_on and not self.seq_axis
-
-        ipas = [InvariantPointAttention(
-            c_hidden=self.c_hidden, no_heads=self.no_heads,
-            no_qk_points=self.no_qk_points, no_v_points=self.no_v_points,
-            c_z=self.c_z, dtype=self.dtype, use_pallas=self.use_pallas_ipa,
-            seq_axis=self.seq_axis,
-            name=f"ipa_{b}") for b in range(self.no_ipa_blocks)]
+        ipas = self.ipas
 
         init_node_embed = node_embed
-        proj = None
+        proj = proj0  # block 0's projection when the embedder emitted it
         for b in range(self.no_ipa_blocks):
             ipa_out = ipas[b](node_embed, edge_embed, frames, node_mask,
                               proj=proj)
@@ -330,6 +335,7 @@ class TranslationIPA(nn.Module):
                                           proj_w=ipas[b + 1].proj_weights())
                 else:
                     edge_embed = et(node_embed, edge_embed)
+                    proj = None
 
         psi = TorsionAngleHead(n_torsion_angles=1, dtype=self.dtype,
                                name="torsion_pred")(node_embed)  # (B, L, 2)

@@ -78,23 +78,7 @@ class ScoreNetwork(nn.Module):
         fixed_mask = batch["fixed_mask"].astype(jnp.float32)
         edge_mask = node_mask[..., None] * node_mask[..., None, :]
 
-        node_embed, edge_embed = EmbeddingModule(
-            init_embed_size=cfg.init_embed_size,
-            node_embed_size=cfg.node_embed_size,
-            edge_embed_size=cfg.edge_embed_size,
-            num_bins=cfg.num_bins, min_bin=cfg.min_bin, max_bin=cfg.max_bin,
-            self_conditioning=cfg.self_conditioning, dtype=dtype,
-            use_pallas=cfg.use_pallas, seq_axis=cfg.seq_axis,
-            name="embedder")(
-            batch["residue_idx"], batch["t"], fixed_mask, batch["sc_ca_t"])
-        node_embed = node_embed * node_mask[..., None]
-        if cfg.seq_axis:
-            from ..parallel.seq_shard import local_cols
-            edge_mask = node_mask[..., None] * local_cols(
-                cfg.seq_axis, node_mask)[..., None, :]
-        edge_embed = edge_embed * edge_mask[..., None]
-
-        trunk_out = TranslationIPA(
+        translator = TranslationIPA(
             c_s=cfg.node_embed_size, c_z=cfg.edge_embed_size,
             coordinate_scaling=cfg.coordinate_scaling,
             no_ipa_blocks=cfg.no_ipa_blocks,
@@ -105,9 +89,45 @@ class ScoreNetwork(nn.Module):
             no_qk_points=cfg.no_qk_points, no_v_points=cfg.no_v_points,
             dropout=cfg.dropout, dtype=dtype, use_pallas=cfg.use_pallas,
             use_pallas_ipa=cfg.use_pallas_ipa, seq_axis=cfg.seq_axis,
-            name="translator")(
+            name="translator")
+
+        # Block-0 mega-fusion: when both Pallas paths are active, the edge
+        # embedder kernel also emits ipa_0's fused z projection while the
+        # fresh z0 tile is in VMEM — the attention never reads z0 from HBM.
+        from ..ops import edge_mlp as _em_ops
+        from ..ops import ipa_attention as _ia_ops
+        ipa_on = (cfg.use_pallas_ipa == "on"
+                  or (cfg.use_pallas_ipa == "auto" and _ia_ops.is_supported()))
+        edge_on = (cfg.use_pallas == "on"
+                   or (cfg.use_pallas == "auto" and _em_ops.is_supported()))
+        use_mega = ipa_on and edge_on and not cfg.seq_axis
+        proj0_w = translator.ipas[0].proj_weights() if use_mega else None
+
+        emb_out = EmbeddingModule(
+            init_embed_size=cfg.init_embed_size,
+            node_embed_size=cfg.node_embed_size,
+            edge_embed_size=cfg.edge_embed_size,
+            num_bins=cfg.num_bins, min_bin=cfg.min_bin, max_bin=cfg.max_bin,
+            self_conditioning=cfg.self_conditioning, dtype=dtype,
+            use_pallas=cfg.use_pallas, seq_axis=cfg.seq_axis,
+            name="embedder")(
+            batch["residue_idx"], batch["t"], fixed_mask, batch["sc_ca_t"],
+            proj_w=proj0_w)
+        proj0 = None
+        if proj0_w is not None:
+            node_embed, edge_embed, proj0 = emb_out
+        else:
+            node_embed, edge_embed = emb_out
+        node_embed = node_embed * node_mask[..., None]
+        if cfg.seq_axis:
+            from ..parallel.seq_shard import local_cols
+            edge_mask = node_mask[..., None] * local_cols(
+                cfg.seq_axis, node_mask)[..., None, :]
+        edge_embed = edge_embed * edge_mask[..., None]
+
+        trunk_out = translator(
             node_embed, edge_embed, batch["rigids_t"].astype(jnp.float32),
-            node_mask, fixed_mask, deterministic=deterministic)
+            node_mask, fixed_mask, deterministic=deterministic, proj0=proj0)
 
         # psi: ground truth for fixed residues, prediction elsewhere.
         gt_psi = batch["torsion_angles_sin_cos"][..., 2, :].astype(jnp.float32)

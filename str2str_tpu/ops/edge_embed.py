@@ -114,6 +114,34 @@ def _kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
     out_ref[0] = (h * ln_s_ref[0] + ln_b_ref[0]).astype(dt)
 
 
+def _kernel_proj(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
+                 scq_ref, sck_ref,
+                 krel_ref, kd_ref, k1_ref, k2_ref,
+                 b0_ref, b1_ref, b2_ref, ln_s_ref, ln_b_ref,
+                 lo2_ref, hi2_ref, wcatT_ref, bcat_ref,
+                 out_ref, proj_ref, *, self_cond: bool, eps: float):
+    """Mega-fusion variant: additionally emit IPA block 0's fused z
+    projection proj[r, x, l] = sum_c z0[r, l, c]*wcat[c, x] + bcat[x] while
+    the fresh z0 tile is in VMEM — the attention then never reads z0 (same
+    pattern as ops/edge_mlp._kernel_proj)."""
+    _kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
+            scq_ref, sck_ref, krel_ref, kd_ref, k1_ref, k2_ref,
+            b0_ref, b1_ref, b2_ref, ln_s_ref, ln_b_ref, lo2_ref, hi2_ref,
+            out_ref, self_cond=self_cond, eps=eps)
+    oc = out_ref[0]                                   # (Qb, L, D) dt
+    dt = oc.dtype
+    Qb = oc.shape[0]
+    rows = []
+    for r in range(Qb):
+        pr = jax.lax.dot_general(
+            wcatT_ref[:].astype(dt), oc[r], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (X, L)
+        rows.append(pr)
+    proj = jnp.stack(rows, axis=0)                    # (Qb, X, L) f32
+    proj = proj + bcat_ref[0][None, :, None]
+    proj_ref[0] = proj.astype(proj_ref.dtype)
+
+
 def _pick_block(L: int, D: int, itemsize: int):
     if L < 128:
         # Sub-tile lane widths hit unsupported Mosaic relayouts (and there
@@ -140,20 +168,29 @@ def edge_embed_pallas(row_part, col_part, residue_idx, sc_ca,
                       *, min_bin: float, max_bin: float, num_bins: int,
                       init_embed_size: int, max_len: int = 2056,
                       self_conditioning: bool = True, eps: float = 1e-6,
-                      query_block: int | None = None):
+                      query_block: int | None = None, proj_w=None):
     """row_part/col_part: (B, L, D) rank-L first-layer contributions;
     residue_idx: (B, L) int; sc_ca: (B, L, 3) fp32;
     krel: (PE, D), kd: (NB, D), k1/k2: (D, D); biases/LN 1-D.
-    Returns the (B, L, L, D) edge embedding in row_part.dtype."""
+    Returns the (B, L, L, D) edge embedding in row_part.dtype.
+
+    proj_w: optional (wcatT (X, D), bcat (X,)) — IPA block 0's fused
+    z-projection weights; when given the kernel also emits proj
+    (B, L, X, L) and returns the tuple (z0, proj)."""
     B, L, D = row_part.shape
     dt = row_part.dtype
     qb = query_block or _pick_block(L, D, jnp.dtype(dt).itemsize)
     if qb is None:
-        return edge_embed_reference(
+        out = edge_embed_reference(
             row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
             b0, b1, b2, ln_scale, ln_bias, min_bin=min_bin, max_bin=max_bin,
             num_bins=num_bins, init_embed_size=init_embed_size,
             max_len=max_len, self_conditioning=self_conditioning, eps=eps)
+        if proj_w is None:
+            return out
+        return out, _proj_reference(out, *proj_w)
+    if proj_w is not None:
+        qb = min(qb, 16)  # bound the per-row proj-dot unroll
 
     half = init_embed_size // 2
     freq = math.pi / max_len ** (2 * jnp.arange(half, dtype=jnp.float32)
@@ -173,37 +210,73 @@ def edge_embed_pallas(row_part, col_part, residue_idx, sc_ca,
     vecs = [v.reshape(1, -1).astype(jnp.float32)
             for v in (b0, b1, b2, ln_scale, ln_bias)]
 
-    kern = functools.partial(_kernel, self_cond=self_conditioning, eps=eps)
+    in_specs = [
+        pl.BlockSpec((1, qb, D), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, qb, half), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, qb, half), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, L, half), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, L, half), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, qb, 3), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, L, 3), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((PE, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((NB, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((D, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((D, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
+    ]
+    args = [row_part, col_part, sin_p, cos_p, sin_p, cos_p, scf, scf,
+            krel.astype(dt), kd.astype(dt), k1.astype(dt), k2.astype(dt),
+            *vecs, lo2, hi2]
+
+    if proj_w is None:
+        kern = functools.partial(_kernel, self_cond=self_conditioning,
+                                 eps=eps)
+        return pl.pallas_call(
+            kern,
+            compiler_params=_cp(32 * 1024 * 1024),
+            grid=(B, L // qb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, qb, L, D), lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, L, L, D), dt),
+        )(*args)
+
+    wcatT, bcat = proj_w
+    X = wcatT.shape[0]
+    in_specs += [
+        pl.BlockSpec((X, D), lambda b, i: (0, 0)),
+        pl.BlockSpec((1, X), lambda b, i: (0, 0)),
+    ]
+    args += [wcatT.astype(dt), bcat.reshape(1, -1).astype(jnp.float32)]
+    kern = functools.partial(_kernel_proj, self_cond=self_conditioning,
+                             eps=eps)
     return pl.pallas_call(
         kern,
         compiler_params=_cp(32 * 1024 * 1024),
         grid=(B, L // qb),
-        in_specs=[
-            pl.BlockSpec((1, qb, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, qb, half), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, qb, half), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, half), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L, half), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, qb, 3), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, 3), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((PE, D), lambda b, i: (0, 0)),
-            pl.BlockSpec((NB, D), lambda b, i: (0, 0)),
-            pl.BlockSpec((D, D), lambda b, i: (0, 0)),
-            pl.BlockSpec((D, D), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, qb, L, D), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, qb, X, L), lambda b, i: (b, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, qb, L, D), lambda b, i: (b, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, L, D), dt),
-    )(row_part, col_part, sin_p, cos_p, sin_p, cos_p, scf, scf,
-      krel.astype(dt), kd.astype(dt), k1.astype(dt), k2.astype(dt),
-      *vecs, lo2, hi2)
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, L, D), dt),
+            jax.ShapeDtypeStruct((B, L, X, L), dt),
+        ],
+    )(*args)
+
+
+def _proj_reference(z0, wcatT, bcat):
+    dt = z0.dtype
+    proj = (jnp.einsum("bilc,xc->bixl", z0, wcatT.astype(dt))
+            .astype(jnp.float32) + bcat.astype(jnp.float32)[None, None, :, None])
+    return proj.astype(dt)
 
 
 def edge_embed_reference(row_part, col_part, residue_idx, sc_ca,
@@ -275,14 +348,17 @@ def _cp(nbytes: int):
     return pltpu.CompilerParams(vmem_limit_bytes=nbytes)
 
 
-def _bwd_kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
-                scq_ref, sck_ref,
-                krel_ref, kd_ref, k1_ref, k2_ref,
-                b0_ref, b1_ref, b2_ref, ln_s_ref, ln_b_ref,
-                lo2_ref, hi2_ref, dout_ref,
-                drowp_ref, dcolp_ref, dkrel_ref, dkd_ref, dk1_ref, dk2_ref,
-                db0_ref, db1_ref, db2_ref, dls_ref, dlb_ref,
-                *, self_cond: bool, eps: float):
+def _bwd_body(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
+              scq_ref, sck_ref,
+              krel_ref, kd_ref, k1_ref, k2_ref,
+              b0_ref, b1_ref, b2_ref, ln_s_ref, ln_b_ref,
+              lo2_ref, hi2_ref, dout_ref,
+              drowp_ref, dcolp_ref, dkrel_ref, dkd_ref, dk1_ref, dk2_ref,
+              db0_ref, db1_ref, db2_ref, dls_ref, dlb_ref,
+              proj_pack, self_cond: bool, eps: float):
+    """proj_pack: None, or (wcatT_ref, dprojT_ref, dwcatT_ref, dbcat_ref)
+    for the mega-fusion variant whose forward also emitted IPA block 0's
+    fused z projection."""
     first_in_batch = pl.program_id(1) == 0
     first_overall = (pl.program_id(0) == 0) & first_in_batch
 
@@ -292,8 +368,11 @@ def _bwd_kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
 
     @pl.when(first_overall)
     def _zero_weights():
-        for ref in (dkrel_ref, dkd_ref, dk1_ref, dk2_ref,
-                    db0_ref, db1_ref, db2_ref, dls_ref, dlb_ref):
+        refs = [dkrel_ref, dkd_ref, dk1_ref, dk2_ref,
+                db0_ref, db1_ref, db2_ref, dls_ref, dlb_ref]
+        if proj_pack is not None:
+            refs += [proj_pack[2], proj_pack[3]]
+        for ref in refs:
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     Qb = rowp_ref.shape[1]
@@ -344,6 +423,23 @@ def _bwd_kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
 
     # ---- LayerNorm backward --------------------------------------------
     dout = dout_ref[0].astype(jnp.float32)
+    if proj_pack is not None:
+        wcatT_ref, dprojT_ref, dwcatT_ref, dbcat_ref = proj_pack
+        wT = wcatT_ref[:].astype(dt)                      # (X, D)
+        X = wT.shape[0]
+        o_dt = (xhat * ln_s_ref[0] + ln_b_ref[0]).astype(dt)
+        dprojT = dprojT_ref[0]                            # (Qb, L, X) dt
+        extra = []
+        for r in range(Qb):
+            extra.append(jnp.dot(dprojT[r], wT,
+                                 preferred_element_type=jnp.float32))
+        dout = dout + jnp.stack(extra, axis=0)
+        dpT2 = dprojT.reshape(Qb * L, X)
+        dwcatT_ref[...] += jax.lax.dot_general(
+            dpT2, o_dt.reshape(Qb * L, D), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (X, D)
+        dbcat_ref[...] += jnp.sum(dpT2.astype(jnp.float32), axis=0,
+                                  keepdims=True)
     dls_ref[...] += jnp.sum((dout * xhat).reshape(Qb * L, D), axis=0,
                             keepdims=True)
     dlb_ref[...] += jnp.sum(dout.reshape(Qb * L, D), axis=0, keepdims=True)
@@ -388,6 +484,22 @@ def _bwd_kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
             preferred_element_type=jnp.float32)
 
 
+def _bwd_kernel(*refs, self_cond: bool, eps: float):
+    _bwd_body(*refs, None, self_cond, eps)
+
+
+def _bwd_kernel_proj(*refs, self_cond: bool, eps: float):
+    (rowp, colp, sq, cq, sk, ck, scq, sck, krel, kd, k1, k2,
+     b0, b1, b2, lns, lnb, lo2, hi2, dout, wcatT, dprojT,
+     drowp, dcolp, dkrel, dkd, dk1, dk2,
+     db0, db1, db2, dls, dlb, dwcatT, dbcat) = refs
+    _bwd_body(rowp, colp, sq, cq, sk, ck, scq, sck, krel, kd, k1, k2,
+              b0, b1, b2, lns, lnb, lo2, hi2, dout,
+              drowp, dcolp, dkrel, dkd, dk1, dk2,
+              db0, db1, db2, dls, dlb,
+              (wcatT, dprojT, dwcatT, dbcat), self_cond, eps)
+
+
 def _pick_bwd_block(L: int, D: int, itemsize: int):
     if L < 128 and _FORCE_QB is None:
         return None
@@ -417,7 +529,8 @@ def edge_embed_bwd_pallas(row_part, col_part, residue_idx, sc_ca,
                           krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
                           dout, *, min_bin, max_bin, num_bins,
                           init_embed_size, max_len=2056,
-                          self_conditioning=True, eps=1e-6):
+                          self_conditioning=True, eps=1e-6,
+                          proj_w=None, dproj=None):
     B, L, D = row_part.shape
     dt = row_part.dtype
     qb = _pick_bwd_block(L, D, jnp.dtype(dt).itemsize)
@@ -442,6 +555,26 @@ def edge_embed_bwd_pallas(row_part, col_part, residue_idx, sc_ca,
 
     kern = functools.partial(_bwd_kernel, self_cond=self_conditioning,
                              eps=eps)
+    extra_in_specs, extra_out_specs, extra_out_shapes, extra_args = [], [], [], []
+    if proj_w is not None:
+        kern = functools.partial(_bwd_kernel_proj, self_cond=self_conditioning,
+                                 eps=eps)
+        wcatT, _bcat = proj_w
+        X = wcatT.shape[0]
+        dprojT = dproj.astype(dt).transpose(0, 1, 3, 2)   # (B, L, L, X)
+        extra_in_specs = [
+            pl.BlockSpec((X, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, qb, L, X), lambda b, i: (b, i, 0, 0)),
+        ]
+        extra_args = [wcatT.astype(dt), dprojT]
+        extra_out_specs = [
+            pl.BlockSpec((X, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, X), lambda b, i: (0, 0)),
+        ]
+        extra_out_shapes = [
+            jax.ShapeDtypeStruct((X, D), f32),            # dwcatT (accum)
+            jax.ShapeDtypeStruct((1, X), f32),            # dbcat (accum)
+        ]
     return pl.pallas_call(
         kern,
         compiler_params=_cp(64 * 1024 * 1024),
@@ -467,6 +600,7 @@ def edge_embed_bwd_pallas(row_part, col_part, residue_idx, sc_ca,
             pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
             pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
             pl.BlockSpec((1, qb, L, D), lambda b, i: (b, i, 0, 0)),
+            *extra_in_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, qb, D), lambda b, i: (b, i, 0)),
@@ -480,6 +614,7 @@ def edge_embed_bwd_pallas(row_part, col_part, residue_idx, sc_ca,
             pl.BlockSpec((1, D), lambda b, i: (0, 0)),
             pl.BlockSpec((1, D), lambda b, i: (0, 0)),
             pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            *extra_out_specs,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L, D), f32),   # drowp
@@ -493,10 +628,11 @@ def edge_embed_bwd_pallas(row_part, col_part, residue_idx, sc_ca,
             jax.ShapeDtypeStruct((1, D), f32),      # db2
             jax.ShapeDtypeStruct((1, D), f32),      # dls
             jax.ShapeDtypeStruct((1, D), f32),      # dlb
+            *extra_out_shapes,
         ],
     )(row_part, col_part, sin_p, cos_p, sin_p, cos_p, scf, scf,
       krel.astype(dt), kd.astype(dt), k1.astype(dt), k2.astype(dt),
-      *vecs, lo2, hi2, dout.astype(dt))
+      *vecs, lo2, hi2, dout.astype(dt), *extra_args)
 
 
 # ---- differentiable entry point --------------------------------------------
@@ -567,3 +703,89 @@ def _ee_bwd(min_bin, max_bin, num_bins, init_embed_size, max_len,
 
 
 edge_embed.defvjp(_ee_fwd, _ee_bwd)
+
+
+# ---- mega-fusion variant: also emit IPA block 0's fused z projection -------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20))
+def edge_embed_proj(row_part, col_part, residue_idx, sc_ca,
+                    krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                    wcatT, bcat,
+                    min_bin, max_bin, num_bins, init_embed_size, max_len,
+                    self_conditioning):
+    return edge_embed_pallas(
+        row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
+        b0, b1, b2, ln_scale, ln_bias, min_bin=min_bin, max_bin=max_bin,
+        num_bins=num_bins, init_embed_size=init_embed_size, max_len=max_len,
+        self_conditioning=self_conditioning, proj_w=(wcatT, bcat))
+
+
+def _eep_fwd(row_part, col_part, residue_idx, sc_ca,
+             krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias, wcatT, bcat,
+             min_bin, max_bin, num_bins, init_embed_size, max_len,
+             self_conditioning):
+    out = edge_embed_pallas(
+        row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
+        b0, b1, b2, ln_scale, ln_bias, min_bin=min_bin, max_bin=max_bin,
+        num_bins=num_bins, init_embed_size=init_embed_size, max_len=max_len,
+        self_conditioning=self_conditioning, proj_w=(wcatT, bcat))
+    return out, (row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
+                 b0, b1, b2, ln_scale, ln_bias, wcatT, bcat)
+
+
+def _eep_bwd(min_bin, max_bin, num_bins, init_embed_size, max_len,
+             self_conditioning, saved, cts):
+    (row_part, col_part, residue_idx, sc_ca,
+     krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias, wcatT, bcat) = saved
+    dout, dproj = cts
+    outs = edge_embed_bwd_pallas(
+        row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
+        b0, b1, b2, ln_scale, ln_bias, dout,
+        min_bin=min_bin, max_bin=max_bin, num_bins=num_bins,
+        init_embed_size=init_embed_size, max_len=max_len,
+        self_conditioning=self_conditioning,
+        proj_w=(wcatT, bcat), dproj=dproj)
+    if outs is None:
+        def ref(*a):
+            out = edge_embed_reference(
+                *a[:13], min_bin=min_bin, max_bin=max_bin, num_bins=num_bins,
+                init_embed_size=init_embed_size, max_len=max_len,
+                self_conditioning=self_conditioning)
+            return out, _proj_reference(out, a[13], a[14])
+        _, vjp = jax.vjp(ref, *saved)
+        return vjp(cts)
+    (drowp, dcolp, dkrel, dkd, dk1, dk2,
+     db0, db1, db2, dls, dlb, dwcatT, dbcat) = outs
+    import numpy as _np
+    f0 = jax.dtypes.float0
+    return (drowp.astype(row_part.dtype), dcolp.astype(col_part.dtype),
+            _np.zeros(residue_idx.shape, f0)
+            if jnp.issubdtype(residue_idx.dtype, jnp.integer)
+            else jnp.zeros_like(residue_idx),
+            jnp.zeros_like(sc_ca),
+            dkrel.astype(krel.dtype), dkd.astype(kd.dtype),
+            dk1.astype(k1.dtype), dk2.astype(k2.dtype),
+            db0.reshape(b0.shape).astype(b0.dtype),
+            db1.reshape(b1.shape).astype(b1.dtype),
+            db2.reshape(b2.shape).astype(b2.dtype),
+            dls.reshape(ln_scale.shape).astype(ln_scale.dtype),
+            dlb.reshape(ln_bias.shape).astype(ln_bias.dtype),
+            dwcatT.astype(wcatT.dtype),
+            dbcat.reshape(bcat.shape).astype(bcat.dtype))
+
+
+edge_embed_proj.defvjp(_eep_fwd, _eep_bwd)
+
+
+def edge_embed_proj_reference(row_part, col_part, residue_idx, sc_ca,
+                              krel, kd, k1, k2, b0, b1, b2,
+                              ln_scale, ln_bias, wcatT, bcat,
+                              *, min_bin, max_bin, num_bins,
+                              init_embed_size, max_len=2056,
+                              self_conditioning=True, eps=1e-6):
+    out = edge_embed_reference(
+        row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
+        b0, b1, b2, ln_scale, ln_bias, min_bin=min_bin, max_bin=max_bin,
+        num_bins=num_bins, init_embed_size=init_embed_size, max_len=max_len,
+        self_conditioning=self_conditioning, eps=eps)
+    return out, _proj_reference(out, wcatT, bcat)

@@ -403,3 +403,68 @@ def test_trunk_mega_fusion_matches_xla_paths(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-2,
             err_msg=jax.tree_util.keystr(k1))
+
+
+def test_network_mega_fusion_matches_xla_paths(rng):
+    """Full ScoreNetwork with ALL kernels on (interpreted), including the
+    block-0 embedder-proj mega-fusion, must match the XLA-path network on
+    valid (unmasked) rows — forward and grads."""
+    from str2str_tpu.model.network import NetworkConfig, ScoreNetwork
+    from str2str_tpu.ops import ipa_attention as IA
+    from str2str_tpu.ops import edge_embed as EE
+    from str2str_tpu.geometry import rotations as R
+
+    B, L = 1, 16
+    quat = np.asarray(R.random_quat(jax.random.PRNGKey(0), (B, L)))
+    mask = np.ones((B, L), np.float32)
+    mask[:, -3:] = 0
+    batch = {
+        "rigids_t": jnp.asarray(np.concatenate(
+            [quat, rng.randn(B, L, 3).astype(np.float32) * 4], -1)),
+        "t": jnp.full((B,), 0.4),
+        "residue_idx": jnp.asarray(np.tile(np.arange(L, dtype=np.int32),
+                                           (B, 1))),
+        "residue_mask": jnp.asarray(mask),
+        "fixed_mask": jnp.zeros((B, L)),
+        "sc_ca_t": jnp.asarray(rng.randn(B, L, 3).astype(np.float32)),
+        "torsion_angles_sin_cos": jnp.asarray(
+            rng.randn(B, L, 7, 2).astype(np.float32)),
+        "aatype": jnp.zeros((B, L), jnp.int32),
+    }
+    kw = dict(init_embed_size=8, node_embed_size=32, edge_embed_size=16,
+              no_ipa_blocks=2, skip_embed_size=8, transformer_num_heads=2,
+              transformer_num_layers=1, c_hidden=16, no_heads=4,
+              no_qk_points=4, no_v_points=6, dropout=0.0)
+    off = ScoreNetwork(NetworkConfig(use_pallas="off", use_pallas_ipa="off",
+                                     **kw))
+    params = off.init(jax.random.PRNGKey(1), batch)
+    on = ScoreNetwork(NetworkConfig(use_pallas="on", use_pallas_ipa="on",
+                                    **kw))
+    m = mask[..., None]
+
+    def loss(p, mod):
+        out = mod.apply(p, batch)
+        return (jnp.sum((out["trans"] * m) ** 2) * 1e-4
+                + jnp.sum((out["psi"] * m) ** 2))
+
+    out_off = off.apply(params, batch)
+    g_off = jax.grad(loss)(params, off)
+    oia, oee = IA._FORCE_QB, EE._FORCE_QB
+    IA._FORCE_QB = EE._FORCE_QB = 8
+    try:
+        with _interpret_ctx():
+            out_on = on.apply(params, batch)
+            g_on = jax.grad(loss)(params, on)
+    finally:
+        IA._FORCE_QB, EE._FORCE_QB = oia, oee
+
+    for key in ("quat", "trans", "psi"):
+        np.testing.assert_allclose(
+            np.asarray(out_off[key]) * m, np.asarray(out_on[key]) * m,
+            atol=1e-3, rtol=1e-3, err_msg=key)
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_off)[0],
+            jax.tree_util.tree_flatten_with_path(g_on)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-2,
+            err_msg=jax.tree_util.keystr(k1))
