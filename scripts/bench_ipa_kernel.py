@@ -1,8 +1,33 @@
 #!/usr/bin/env python
 """Microbenchmark: fused Pallas IPA attention vs the XLA path.
 
-Headline shape: B=8, L=256, H=8, C=256, Pq=8, Pv=12, Cz=128 (the reference
-model at the benchmark length). Run on the TPU.
+Timing methodology (both pitfalls below produced plausible-looking garbage
+in earlier rounds):
+
+  * SLOPE timing: each measurement chains iterations through a data
+    dependency inside one jitted `lax.scan` and runs TWO scan lengths; the
+    reported time is (t_long - t_short)/(n_long - n_short). The per-call
+    fixed overhead through the execution tunnel is ~28 ms — at 20
+    iterations that is 1.4 ms/iter of fake time, enough to make every
+    sub-ms kernel "measure" identical.
+  * z must be CARRY-DEPENDENT: with z loop-invariant, XLA hoists the z
+    projections (pair bias / down_z — the dominant HBM traffic) out of the
+    scan and the XLA path measures faster than its own z-read floor. In
+    production z changes every block. The carry update itself charges one
+    z read+write per iteration to BOTH paths symmetrically (production
+    pays the z' write in EdgeTransition).
+
+Rows reported per dtype:
+  xla    — reference path: z projections + [B,H,L,L] logits in XLA.
+  pallas — full fused path incl. `make_proj` (one z read + proj write per
+           call). This OVERCHARGES production, where the previous block's
+           EdgeTransition kernel emits proj from VMEM and z is never read
+           (mega-fusion); it is the standalone-op cost.
+  pallas+mega — `ipa_attention_with_proj` with proj carried instead of z:
+           the production mega-fusion configuration (z untouched; carry
+           charges proj read+write instead).
+
+Headline shape: B=8, L=256, H=8, C=256, Pq=8, Pv=12, Cz=128.
 """
 import sys
 import time
@@ -37,44 +62,75 @@ def make_args(B, L, H, C, Pq, Pv, Cz, dtype, seed=0):
             jnp.asarray(mask))
 
 
-def timeit(fn, args, iters=20):
-    """Chain iterations through a data dependency inside one jit so neither
-    XLA nor the execution service can cache/overlap identical calls."""
-    @jax.jit
-    def chained(q, *rest):
-        def step(carry, _):
-            o, opt, opair = fn(carry, *rest)
-            # fold a piece of every output back into the query
-            upd = o + (jnp.sum(opt) + jnp.sum(opair)) * jnp.asarray(0, o.dtype)
-            return carry + upd * jnp.asarray(1e-2, carry.dtype), ()
-        out, _ = jax.lax.scan(step, q, None, length=iters)
-        return jnp.sum(out.astype(jnp.float32))  # scalar: no transfer cost
+def timeit(fn, q, big, rest, n_short=20, n_long=80):
+    """Slope-time fn(q, big, *rest) with BOTH q and `big` (z or proj)
+    carried through the scan so nothing operand-sized is hoisted."""
+    def total_ms(iters):
+        @jax.jit
+        def chained(q0, big0, *r):
+            def step(carry, _):
+                qc, bc = carry
+                o, opt, opair = fn(qc, bc, *r)
+                s = (jnp.sum(o.astype(jnp.float32))
+                     + jnp.sum(opt.astype(jnp.float32))
+                     + jnp.sum(opair.astype(jnp.float32)))
+                return (qc + (s * 1e-12).astype(qc.dtype),
+                        bc + (s * 1e-12).astype(bc.dtype)), ()
+            (qf, bf), _ = jax.lax.scan(step, (q0, big0), None, length=iters)
+            return (jnp.sum(qf.astype(jnp.float32))
+                    + jnp.sum(bf.astype(jnp.float32)))
 
-    # The remote execution service memoizes identical (program, input)
-    # pairs, so warm up and time on DIFFERENT inputs, one timed execution.
-    q0 = args[0]
-    jax.block_until_ready(chained(q0 + jnp.asarray(1.0, q0.dtype), *args[1:]))
-    t0 = time.perf_counter()
-    jax.block_until_ready(chained(*args))
-    return (time.perf_counter() - t0) / iters * 1e3
+        # The execution service memoizes identical (program, input) pairs:
+        # warm up and time on DIFFERENT inputs; float() forces to host
+        # (block_until_ready does not reliably block through the tunnel).
+        float(chained(q + jnp.asarray(1.0, q.dtype), big, *rest))
+        t0 = time.perf_counter()
+        float(chained(q, big, *rest))
+        return (time.perf_counter() - t0) * 1e3
+
+    return (total_ms(n_long) - total_ms(n_short)) / (n_long - n_short)
 
 
 def main():
-    B, L, H, C, Pq, Pv, Cz = 8, 256, 8, 256, 8, 12, 128
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=8)
+    ap.add_argument("--L", type=int, default=256)
+    ns = ap.parse_args()
+    B, L, H, C, Pq, Pv, Cz = ns.B, ns.L, 8, 256, 8, 12, 128
     print(f"device: {jax.devices()[0].platform}, shape B={B} L={L}")
     for dtype in (jnp.bfloat16, jnp.float32):
         args = make_args(B, L, H, C, Pq, Pv, Cz, dtype)
-        xla = timeit(jax.jit(IA.ipa_attention_reference), args)
-        pal = timeit(jax.jit(IA.ipa_attention_pallas), args)
+        (q, k, v, qp, kp, vp, z, kb, bb, kdz, bdz, hw, mask) = args
+        rest = (k, v, qp, kp, vp, kb, bb, kdz, bdz, hw, mask)
+
+        def xla_fn(qc, zc, k, v, qp, kp, vp, kb, bb, kdz, bdz, hw, mask):
+            return IA.ipa_attention_reference(qc, k, v, qp, kp, vp, zc,
+                                              kb, bb, kdz, bdz, hw, mask)
+
+        def pal_fn(qc, zc, k, v, qp, kp, vp, kb, bb, kdz, bdz, hw, mask):
+            return IA.ipa_attention_pallas(qc, k, v, qp, kp, vp, zc,
+                                           kb, bb, kdz, bdz, hw, mask)
+
+        def mega_fn(qc, projc, k, v, qp, kp, vp, kb, bb, kdz, bdz, hw, mask):
+            return IA.ipa_attention_with_proj(qc, k, v, qp, kp, vp, projc,
+                                              hw, mask)
+
+        proj = IA.make_proj(z, kb, bb, kdz, bdz, dtype)
+        xla = timeit(xla_fn, q, z, rest)
+        pal = timeit(pal_fn, q, z, rest)
+        mega = timeit(mega_fn, q, proj, rest)
+
         # correctness spot check on device
         ref = IA.ipa_attention_reference(*args)
         out = IA.ipa_attention_pallas(*args)
-        m = np.asarray(args[-1])[..., None]
+        m = np.asarray(mask)[..., None]
         errs = [float(np.max(np.abs((np.asarray(a, np.float32)
                                      - np.asarray(b, np.float32)) * m)))
                 for a, b in zip(ref, out)]
         print(f"{np.dtype(dtype).name:9s}  xla {xla:7.3f} ms   "
-              f"pallas {pal:7.3f} ms   speedup {xla / pal:5.2f}x   "
+              f"pallas {pal:7.3f} ms ({xla / pal:4.2f}x)   "
+              f"pallas+mega {mega:7.3f} ms ({xla / mega:4.2f}x)   "
               f"max|err| {max(errs):.3e}")
 
 
