@@ -29,6 +29,9 @@ import numpy as np
 from ..diffusion.se3 import FrameState, SE3Diffusion
 from ..geometry.frames import compute_backbone
 from ..geometry.rigid import Rigid
+from ..utils.logging import get_logger
+
+_log = get_logger(__name__)
 
 
 @dataclass(frozen=True)
@@ -261,8 +264,14 @@ class Sampler:
                 ts = jax.device_put(ts, NamedSharding(self.mesh, P(None, "data")))
                 active = jax.device_put(active, NamedSharding(self.mesh, P(None, "data")))
                 dt = jax.device_put(dt, bsh)
+            import time as _time
+            _t0 = _time.perf_counter()
             out = self.run(params, jax.random.fold_in(key, j), batch, ts, dt, active)
             atom37 = np.asarray(out["atom37"])[:len(job_deltas)]
+            _log.debug(
+                "job %d delta=%.2f T=%d B=%d: %.2fs (dispatch+anneal+fetch)",
+                j, float(job_deltas[0]), ts.shape[0], B,
+                _time.perf_counter() - _t0)
             for d in np.unique(job_deltas):
                 results[round(float(d), 4)].append(atom37[job_deltas == d])
         return {d: np.concatenate(v, axis=0) for d, v in results.items()}

@@ -3,6 +3,7 @@ pylogger.py:7-51; rank prefixes come from jax.process_index)."""
 from __future__ import annotations
 
 import logging
+import os
 import sys
 
 
@@ -20,6 +21,6 @@ def get_logger(name: str = "str2str_tpu") -> logging.Logger:
             f"[%(asctime)s][rank{rank}][%(name)s][%(levelname)s] %(message)s",
             datefmt="%H:%M:%S"))
         logger.addHandler(handler)
-        logger.setLevel(logging.INFO)
+        logger.setLevel(os.environ.get("STR2STR_LOGLEVEL", "INFO").upper())
         logger.propagate = False
     return logger
