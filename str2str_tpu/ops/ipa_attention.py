@@ -447,11 +447,15 @@ def _core_bwd_call(qhat, khat, v4, vf4, proj, do, dopt, dopair):
     )(qhat, qhatT, khat, v4, vf4, biasT, dp_pair,
       doc, doT, doptc, doptT)
 
-    # dproj assembly (XLA): pz rows from p, bias rows = dl.
+    # dproj assembly (XLA): pz rows from p, bias rows = dl. Assembled in the
+    # value dtype — the f32->dt casts fuse into the einsum/concat epilogues,
+    # halving the assembly's HBM bytes (dl is already dt; dpz is an 8-term
+    # (over heads) contraction whose bf16 rounding is within the cotangent's
+    # own precision).
     dpz = jnp.einsum("bqhc,bhql->bqcl", dopc, p_all,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32).astype(dt)
     dproj = jnp.concatenate(
-        [dpz, dl_all.transpose(0, 2, 1, 3).astype(jnp.float32)], axis=2)
+        [dpz, dl_all.transpose(0, 2, 1, 3)], axis=2)
     return dqhat, dkhat, dvT, dvf, dproj
 
 
