@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--nfe-rate", type=float, default=None,
                     help="measured NFE/s (bench.py) to compare against")
     ap.add_argument("--out", default="/tmp/bench_e2e")
+    ap.add_argument("--chained", action="store_true",
+                    help="use the chained-delta single-program sampler "
+                         "(one compile + one first-dispatch instead of ~10)")
     args = ap.parse_args()
 
     from bench import synthetic_protein_object
@@ -62,6 +65,8 @@ def main():
         f"model.inference.output_dir={args.out}/samples",
         "seed=3",
     ]
+    if args.chained:
+        overrides.append("model.inference.chained=true")
     t0 = time.perf_counter()
     sample_cli.main(overrides)
     wall = time.perf_counter() - t0

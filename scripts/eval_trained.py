@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--ckpt", default="checkpoints/trained_r3.npz")
     ap.add_argument("--skip-sampling", action="store_true",
                     help="reuse PDBs already under --out/samples")
+    ap.add_argument("--chained", action="store_true",
+                    help="chained-delta single-program sampler (one compile "
+                         "per length bucket instead of ~10)")
     args = ap.parse_args()
 
     from str2str_tpu.cli import sample as sample_cli
@@ -72,7 +75,7 @@ def main():
             "model.inference.replica_per_batch=50",
             f"model.inference.output_dir={sample_dir}",
             "seed=11",
-        ])
+        ] + (["model.inference.chained=true"] if args.chained else []))
     wall = time.perf_counter() - t0
 
     rows = []

@@ -89,10 +89,16 @@ def run(cfg) -> str:
         t0 = time.time()
         if profile_dir and i == 0:
             jax.profiler.start_trace(str(profile_dir))
-        ensembles = sampler.sample_ensemble(
-            params, jax.random.fold_in(key, i), feats,
-            batch_deltas_together=bool(cfg.model.inference.get(
-                "batch_deltas_together", False)))
+        if bool(cfg.model.inference.get("chained", False)):
+            # One compiled program for the whole delta grid (the per-delta
+            # path compiles one program per distinct step count).
+            ensembles = sampler.sample_ensemble_chained(
+                params, jax.random.fold_in(key, i), feats)
+        else:
+            ensembles = sampler.sample_ensemble(
+                params, jax.random.fold_in(key, i), feats,
+                batch_deltas_together=bool(cfg.model.inference.get(
+                    "batch_deltas_together", False)))
         if profile_dir and i == 0:
             jax.profiler.stop_trace()
             log.info(f"profiler trace written to {profile_dir}")

@@ -75,6 +75,50 @@ def build_schedule(deltas: np.ndarray, num_timesteps: int, min_t: float):
     return jnp.asarray(ts), jnp.asarray(dt), jnp.asarray(active)
 
 
+def build_chained_schedule(deltas: np.ndarray, repeats: int,
+                           num_timesteps: int, min_t: float):
+    """Aligned-segment chained schedule: one batch ROW anneals every delta
+    `repeats` times back-to-back, re-perturbing from the input structure at
+    each segment start. Every row runs the IDENTICAL chain, so segment
+    boundaries (and the output-slot index) are per-STEP scalars and the
+    whole delta grid compiles to ONE program (the per-delta path compiles
+    one program per distinct step count — ~10 for the reference grid, each
+    paying its own first-dispatch cost).
+
+    Per segment with step count c = max(int(num_timesteps*delta), 2) the
+    chain contributes c+1 net calls — identical NFE to the per-delta path
+    (reference protocol, diffusion_module.py:214-369: self-conditioning
+    init at t=delta, c-1 reverse steps, final x0 prediction at min_t).
+
+    Returns (sched, n_slots) where sched is a dict of (T,) arrays:
+    ts, dt, init, final, slot, local. Noise keys downstream depend only on
+    (slot, local), never on the global step index, so each segment's
+    trajectory is independent of everything annealed before it.
+    """
+    ts, dts, init, final, slot, local = [], [], [], [], [], []
+    s = 0
+    for _ in range(repeats):
+        for d in deltas:
+            c = max(int(num_timesteps * float(d)), 2)
+            sched = np.linspace(min_t, float(d), c)[::-1]
+            ts += [float(d)] + [float(x) for x in sched[:-1]] + [float(min_t)]
+            dts += [1.0 / c] * (c + 1)
+            init += [1] + [0] * c
+            final += [0] * c + [1]
+            slot += [s] * (c + 1)
+            local += list(range(c + 1))
+            s += 1
+    pack = {
+        "ts": np.asarray(ts, np.float32),
+        "dt": np.asarray(dts, np.float32),
+        "init": np.asarray(init, np.float32),
+        "final": np.asarray(final, np.float32),
+        "slot": np.asarray(slot, np.int32),
+        "local": np.asarray(local, np.int32),
+    }
+    return pack, s
+
+
 class Sampler:
     """Binds a ScoreNetwork apply-fn and an SE3Diffusion into jitted
     forward-backward sampling kernels."""
@@ -210,6 +254,179 @@ class Sampler:
             "rigids": final_state.to_tensor_7(),
             "psi": out["psi"],
         }
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 4))
+    def run_chained(self, params, key: jax.Array, feats: Dict[str, jnp.ndarray],
+                    n_slots: int, ts, dts, init_f, final_f, slot, local):
+        """Anneal the full delta grid in ONE program.
+
+        Schedule arrays are (T,) per-step scalars from
+        `build_chained_schedule`; every batch row runs the same chain with
+        its own noise. Each scan step performs exactly one net call; per-step
+        flags select its role (segment re-init + self-conditioning init /
+        reverse step / final x0 prediction). The step's x0 prediction is
+        written unconditionally into the current segment's output slot — the
+        last write to a slot is that segment's final step, so no predication
+        is needed.
+
+        Returns dict with atom37 (n_slots, B, L, 37, 3), rigids
+        (n_slots, B, L, 7), psi (n_slots, B, L, 2) and atom37_mask (B, L, 37).
+        """
+        if self.seq_mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            fn = shard_map(
+                partial(self._run_chained_impl, n_slots), mesh=self.seq_mesh,
+                in_specs=(P(),) * 9, out_specs=P(), check_rep=False)
+            return fn(params, key, feats, ts, dts, init_f, final_f, slot, local)
+        return self._run_chained_impl(n_slots, params, key, feats,
+                                      ts, dts, init_f, final_f, slot, local)
+
+    def _run_chained_impl(self, n_slots, params, key, feats,
+                          ts, dts, init_f, final_f, slot, local):
+        cfg = self.cfg
+        k_fwd, k_anneal = jax.random.split(key)
+
+        residue_mask = feats["residue_mask"].astype(jnp.float32)
+        fixed_mask = feats["fixed_mask"].astype(jnp.float32)
+        diffuse_mask = (1.0 - fixed_mask) * residue_mask
+
+        gt_rigids = Rigid.from_tensor_4x4(
+            feats["rigidgroups_gt_frames"][..., 0, :, :].astype(jnp.float32))
+        state_0 = FrameState.from_rigid(gt_rigids)
+        B, L = residue_mask.shape
+
+        net_feats = {
+            "residue_idx": feats["residue_idx"],
+            "residue_mask": residue_mask,
+            "fixed_mask": fixed_mask,
+            "aatype": feats["aatype"],
+            "torsion_angles_sin_cos": feats["torsion_angles_sin_cos"],
+        }
+
+        def net_apply(state: FrameState, sc_ca, t):
+            batch = dict(net_feats)
+            batch["rigids_t"] = state.to_tensor_7()
+            batch["sc_ca_t"] = sc_ca
+            batch["t"] = t
+            return self.net.apply(params, batch, deterministic=True)
+
+        buf37 = jnp.zeros((n_slots, B, L, 37, 3), jnp.float32)
+        bufr = jnp.zeros((n_slots, B, L, 7), jnp.float32)
+        bufpsi = jnp.zeros((n_slots, B, L, 2), jnp.float32)
+        state = state_0
+        sc_ca = jnp.zeros_like(state_0.trans)
+
+        def step(carry, inp):
+            state, sc_ca, b37, br, bpsi = carry
+            t_i, dt_i, ini, fin, s_i, loc = inp
+            tb = jnp.full((B,), t_i, jnp.float32)
+
+            # Segment keys: a function of (slot, local step) ONLY, so a
+            # segment's trajectory cannot depend on its position in the chain.
+            k_seg = jax.random.fold_in(k_fwd, s_i)
+            k_rev = jax.random.fold_in(jax.random.fold_in(k_anneal, s_i), loc)
+
+            if cfg.backward_only:
+                st_new = self.diffuser.sample_prior(
+                    k_seg, state.quat.shape[:-1], reference=state_0,
+                    diffuse_mask=residue_mask)
+            else:
+                st_new = self.diffuser.forward_marginal(
+                    k_seg, state_0, tb, diffuse_mask=residue_mask)["state_t"]
+            use_new = ini > 0
+            state = FrameState(
+                jnp.where(use_new, st_new.quat, state.quat),
+                jnp.where(use_new, st_new.trans, state.trans))
+            sc_in = jnp.where(use_new, jnp.zeros_like(sc_ca), sc_ca)
+
+            out = net_apply(state, sc_in, tb)
+            sc_next = out["trans"] if cfg.self_conditioning else sc_in
+
+            pred_state = self._net_out_state(out)
+            scores = self.diffuser.score(pred_state, state, tb,
+                                         mask=residue_mask)
+            next_state = self.diffuser.reverse(
+                k_rev, state, scores["rot_score"], scores["trans_score"],
+                tb, jnp.full((B,), dt_i, jnp.float32),
+                diffuse_mask=diffuse_mask, center_trans=True,
+                center_mask=residue_mask, noise_scale=cfg.noise_scale,
+                probability_flow=cfg.probability_flow)
+            adv = jnp.logical_and(ini <= 0, fin <= 0)
+            state = FrameState(
+                jnp.where(adv, next_state.quat, state.quat),
+                jnp.where(adv, next_state.trans, state.trans))
+
+            atom37, _, _ = compute_backbone(
+                pred_state.to_rigid(), out["psi"], feats["aatype"])
+            b37 = jax.lax.dynamic_update_slice(
+                b37, atom37[None].astype(jnp.float32), (s_i, 0, 0, 0, 0))
+            br = jax.lax.dynamic_update_slice(
+                br, pred_state.to_tensor_7()[None].astype(jnp.float32),
+                (s_i, 0, 0, 0))
+            bpsi = jax.lax.dynamic_update_slice(
+                bpsi, out["psi"][None].astype(jnp.float32), (s_i, 0, 0, 0))
+            return (state, sc_next, b37, br, bpsi), None
+
+        (state, sc_ca, buf37, bufr, bufpsi), _ = jax.lax.scan(
+            step, (state, sc_ca, buf37, bufr, bufpsi),
+            (ts, dts, init_f, final_f, slot, local))
+
+        _, atom37_mask, _ = compute_backbone(
+            state_0.to_rigid(), jnp.zeros((B, L, 2), jnp.float32),
+            feats["aatype"])
+        return {"atom37": buf37, "rigids": bufr, "psi": bufpsi,
+                "atom37_mask": atom37_mask}
+
+    def sample_ensemble_chained(self, params, key: jax.Array,
+                                feats_single: Dict[str, np.ndarray],
+                                deltas: Optional[np.ndarray] = None,
+                                n_replica: Optional[int] = None
+                                ) -> Dict[float, np.ndarray]:
+        """`sample_ensemble` semantics via ONE compiled program.
+
+        Replicas are padded up to a multiple of the batch size (extra
+        conformations are discarded), each row annealing the whole delta
+        grid `ceil(n_replica/B)` times. Compile count: 1 (vs one per
+        distinct step count for `sample_ensemble`)."""
+        cfg = self.cfg
+        deltas = cfg.delta_range() if deltas is None else np.asarray(deltas)
+        n_replica = n_replica or cfg.n_replica
+        if cfg.backward_only:
+            n_replica = n_replica * len(deltas)
+            deltas = np.asarray([1.0])
+        B = min(cfg.replica_per_batch, n_replica)
+        repeats = -(-n_replica // B)
+
+        sched, n_slots = build_chained_schedule(
+            deltas, repeats, cfg.num_timesteps, cfg.min_t)
+        batch = {k: jnp.asarray(np.broadcast_to(v, (B,) + v.shape))
+                 for k, v in feats_single.items()
+                 if isinstance(v, np.ndarray)}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            bsh = NamedSharding(self.mesh, P("data"))
+            batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+        import time as _time
+        _t0 = _time.perf_counter()
+        out = self.run_chained(
+            params, key, batch, n_slots,
+            *(jnp.asarray(sched[k])
+              for k in ("ts", "dt", "init", "final", "slot", "local")))
+        atom37 = np.asarray(out["atom37"])          # (S, B, L, 37, 3)
+        _log.debug("chained run: S=%d B=%d T=%d: %.2fs",
+                   n_slots, B, sched["ts"].shape[0],
+                   _time.perf_counter() - _t0)
+
+        D = len(deltas)
+        results: Dict[float, np.ndarray] = {}
+        for di, d in enumerate(deltas):
+            arr = np.concatenate(
+                [atom37[r * D + di] for r in range(repeats)], axis=0)
+            results[round(float(d), 4)] = arr[:n_replica]
+        return results
 
     # ------------------------------------------------------------------
     def sample_ensemble(self, params, key: jax.Array,

@@ -115,3 +115,82 @@ def test_mixed_delta_rows_are_independent(setup):
     np.testing.assert_array_equal(np.asarray(o1["atom37"][0]),
                                   np.asarray(o2["atom37"][0]))
     assert not np.allclose(np.asarray(o1["atom37"][1]), np.asarray(o2["atom37"][1]))
+
+
+def test_build_chained_schedule():
+    from str2str_tpu.sampling.sampler import build_chained_schedule
+
+    sched, n_slots = build_chained_schedule(
+        np.asarray([0.3, 0.5]), repeats=2, num_timesteps=100, min_t=0.01)
+    # Two repeats of two deltas = 4 segments.
+    assert n_slots == 4
+    # NFE parity: per segment c+1 net calls (c = int(100*delta)).
+    assert sched["ts"].shape[0] == 2 * ((30 + 1) + (50 + 1))
+    # First segment: init at delta, reverse steps descending, final at min_t.
+    seg0 = sched["ts"][:31]
+    assert seg0[0] == np.float32(0.3) and seg0[-1] == np.float32(0.01)
+    ref = np.linspace(0.01, 0.3, 30)[::-1]
+    np.testing.assert_allclose(seg0[1:30], ref[:-1], atol=1e-6)
+    assert sched["init"][0] == 1 and sched["final"][30] == 1
+    assert (sched["slot"][:31] == 0).all()
+    np.testing.assert_array_equal(sched["local"][:31], np.arange(31))
+    np.testing.assert_allclose(sched["dt"][:31], 1 / 30, atol=1e-7)
+    # Segment order is delta-major within each repeat.
+    assert sched["ts"][31] == np.float32(0.5)
+    assert (sched["slot"][-51:] == 3).all()
+
+
+def test_chained_ensemble_runs_and_groups(setup):
+    prot, feats, net, diffuser, params = setup
+    sampler = Sampler(net, diffuser, SamplerConfig(
+        num_timesteps=20, replica_per_batch=2, n_replica=4,
+        delta_min=0.3, delta_max=0.4, delta_step=0.1))
+    out = sampler.sample_ensemble_chained(params, jax.random.PRNGKey(3), feats)
+    assert set(out.keys()) == {0.3, 0.4}
+    for v in out.values():
+        assert v.shape == (4, 16, 37, 3)
+        assert np.isfinite(v).all()
+    # Slots are genuinely distinct samples, not aliases of one buffer write.
+    assert not np.allclose(out[0.3][0], out[0.3][1])
+    assert not np.allclose(out[0.3][0], out[0.4][0])
+
+
+def test_chained_segments_are_independent(setup):
+    """A segment's output must depend only on its own (slot, delta) — not on
+    anything annealed before it in the chain (catches state/self-conditioning
+    leakage across segment resets)."""
+    from str2str_tpu.sampling.sampler import build_chained_schedule
+
+    prot, feats, net, diffuser, params = setup
+    sampler = Sampler(net, diffuser, SamplerConfig(num_timesteps=20,
+                                                   replica_per_batch=2))
+    batch = {k: jnp.asarray(np.broadcast_to(v, (2,) + v.shape))
+             for k, v in feats.items() if isinstance(v, np.ndarray)}
+    key = jax.random.PRNGKey(5)
+
+    def run(deltas):
+        sched, n_slots = build_chained_schedule(
+            np.asarray(deltas, np.float32), 1, 20, 0.01)
+        return np.asarray(sampler.run_chained(
+            params, key, batch, n_slots,
+            *(jnp.asarray(sched[k])
+              for k in ("ts", "dt", "init", "final", "slot", "local")))["atom37"])
+
+    a = run([0.3, 0.5])
+    b = run([0.45, 0.5])
+    # Slot 1 (same delta, same slot-keyed noise) is bit-identical even though
+    # slot 0's segment differed; slot 0 itself differs.
+    np.testing.assert_array_equal(a[1], b[1])
+    assert not np.allclose(a[0], b[0])
+
+
+def test_chained_determinism(setup):
+    prot, feats, net, diffuser, params = setup
+    sampler = Sampler(net, diffuser, SamplerConfig(
+        num_timesteps=10, replica_per_batch=2, n_replica=2,
+        delta_min=0.3, delta_max=0.3, delta_step=0.1))
+    o1 = sampler.sample_ensemble_chained(params, jax.random.PRNGKey(9), feats)
+    o2 = sampler.sample_ensemble_chained(params, jax.random.PRNGKey(9), feats)
+    o3 = sampler.sample_ensemble_chained(params, jax.random.PRNGKey(10), feats)
+    np.testing.assert_array_equal(o1[0.3], o2[0.3])
+    assert not np.allclose(o1[0.3], o3[0.3])
