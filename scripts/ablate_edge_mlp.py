@@ -30,6 +30,14 @@ from str2str_tpu.ops import edge_mlp as EM
 
 
 def slope_time(fn, z, rest, n_short=20, n_long=80):
+    """Marginal per-iteration cost of fn via two chained scan lengths.
+
+    The carry dependency is a ONE-ELEMENT in-place perturbation of z from a
+    one-element slice of the output: enough to defeat loop hoisting and
+    service memoization, while adding ~zero HBM traffic. (The earlier
+    full-tensor `z + sum(out)*1e-12` carry added ~400 MB/iter of harness
+    traffic — a ~0.6 ms/iter constant that made every sub-ms kernel look
+    bandwidth-starved.)"""
     def total_ms(iters):
         @jax.jit
         def chained(z0, *r):
@@ -37,8 +45,14 @@ def slope_time(fn, z, rest, n_short=20, n_long=80):
                 outs = fn(zc, *r)
                 if not isinstance(outs, tuple):
                     outs = (outs,)
-                s = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
-                return zc + (s * 1e-12).astype(zc.dtype), ()
+                # Barrier: the output must be fully materialized even though
+                # the carry only reads one element (else XLA would DCE an
+                # elementwise `fn` down to a single element).
+                outs = jax.lax.optimization_barrier(outs)
+                bump = (outs[0].reshape(-1)[0] * 1e-12).astype(zc.dtype)
+                zc = jax.lax.dynamic_update_slice(
+                    zc, (zc[:1, :1, :1, :1] + bump), (0, 0, 0, 0))
+                return zc, ()
             zf, _ = jax.lax.scan(step, z0, None, length=iters)
             return jnp.sum(zf.astype(jnp.float32))
 
@@ -63,6 +77,16 @@ def _variant_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     dt = z.dtype
     z2 = z.reshape(R * L, Cz)
 
+    if mode == "copy":
+        # pure I/O probe: stream z in, write a Cout-wide slice back out.
+        # Time ≈ max(HBM stream, per-grid-cell fixed overhead).
+        out_ref[0] = z[..., :out_ref.shape[-1]]
+        return
+    if mode == "raw_dot":
+        # a single isolated matmul (R*L, Cz) @ (Cz, H): pure MXU probe
+        o = jnp.dot(z2, k1z_ref[:], preferred_element_type=jnp.float32)
+        out_ref[0] = o[:, :out_ref.shape[-1]].reshape(R, L, -1).astype(dt)
+        return
     if mode == "one_dot":
         # isolate the big (R*L, 384) @ (384, 384) matmul: feed a bf16 input
         # of the hidden width built from z via a cheap slice-free pad
@@ -70,24 +94,26 @@ def _variant_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
         o = jnp.dot(h, k2_ref[:], preferred_element_type=jnp.float32)
         out_ref[0] = o[:, :out_ref.shape[-1]].reshape(R, L, -1).astype(dt)
         return
-    if mode == "bf16_out":
-        # no f32 anywhere in the MLP chain: MXU emits bf16, relu in bf16
-        h = jnp.dot(z2, k1z_ref[:])                      # dt out
-        h = (h.reshape(R, L, -1) + ni1_ref[0][:, None, :].astype(dt)
-             + nj1_ref[0][None, :, :].astype(dt))
-        h = jnp.maximum(h + b1_ref[0].astype(dt), 0)
-        H = h.shape[-1]
-        h = jnp.dot(h.reshape(R * L, H), k2_ref[:])
-        h = jnp.maximum(h + b2_ref[0].astype(dt), 0)
-        o = jnp.dot(h, kfh_ref[:], preferred_element_type=jnp.float32)
-        o = o + jnp.dot(z2, kfz_ref[:], preferred_element_type=jnp.float32)
-        Cout = o.shape[-1]
-        o = (o.reshape(R, L, Cout) + nfi_ref[0][:, None, :]
-             + nfj_ref[0][None, :, :] + bf_ref[0])
-        mean = jnp.mean(o, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(o - mean), axis=-1, keepdims=True)
-        o = (o - mean) * jax.lax.rsqrt(var + eps)
-        out_ref[0] = (o * ln_scale_ref[0] + ln_bias_ref[0]).astype(dt)
+
+    if mode.startswith("chunk"):
+        # Split the row block into sub-chunks processed back-to-back in one
+        # body: chunks are data-independent, so the Mosaic scheduler can
+        # overlap chunk i's VPU epilogue (relu/astype/LN) with chunk i+1's
+        # MXU dots. Probes whether dot->relu->dot serialization is the gap.
+        n_chunks = int(mode[5:] or 2)
+        outs = []
+        step = (R * L) // n_chunks
+        for ci in range(n_chunks):
+            zc = z2[ci * step:(ci + 1) * step]
+            h = jnp.dot(zc, k1z_ref[:], preferred_element_type=jnp.float32)
+            h = jnp.maximum(h, 0.0).astype(dt)
+            h = jnp.dot(h, k2_ref[:], preferred_element_type=jnp.float32)
+            h = jnp.maximum(h, 0.0).astype(dt)
+            o = jnp.dot(h, kfh_ref[:], preferred_element_type=jnp.float32)
+            o = o + jnp.dot(zc, kfz_ref[:], preferred_element_type=jnp.float32)
+            outs.append(o)
+        o = jnp.concatenate(outs, axis=0)
+        out_ref[0] = o.reshape(R, L, -1).astype(dt)
         return
 
     h = jnp.dot(z2, k1z_ref[:], preferred_element_type=jnp.float32)
@@ -118,6 +144,29 @@ def _variant_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
         o = (o - mean) * jax.lax.rsqrt(var + eps)
         out_ref[0] = (o * ln_scale_ref[0] + ln_bias_ref[0]).astype(dt)
         return
+    if mode == "ln_lite":
+        # stock math, but the LN epilogue collapsed to minimal VPU passes:
+        # stats via sum/sumsq in two reduces, then ONE affine pass
+        # out = o * (rstd*scale) + (bias - mean*rstd*scale).
+        h = (h.reshape(R, L, -1)
+             + (ni1_ref[0] + b1_ref[0])[:, None, :] + nj1_ref[0][None, :, :])
+        h = jnp.maximum(h, 0.0).astype(dt)
+        H = h.shape[-1]
+        h = jnp.dot(h.reshape(R * L, H), k2_ref[:],
+                    preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b2_ref[0], 0.0).astype(dt)
+        o = jnp.dot(h, kfh_ref[:], preferred_element_type=jnp.float32)
+        o = o + jnp.dot(z2, kfz_ref[:], preferred_element_type=jnp.float32)
+        Cout = o.shape[-1]
+        o = (o.reshape(R, L, Cout)
+             + (nfi_ref[0] + bf_ref[0])[:, None, :] + nfj_ref[0][None, :, :])
+        mean = jnp.mean(o, axis=-1, keepdims=True)
+        meansq = jnp.mean(o * o, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(meansq - mean * mean + eps)
+        a = rstd * ln_scale_ref[0]
+        b = ln_bias_ref[0] - mean * a
+        out_ref[0] = (o * a + b).astype(dt)
+        return
     # no_ln / no_node variants reuse the stock body shape
     h = h.reshape(R, L, -1)
     if mode != "no_node":
@@ -144,7 +193,8 @@ def _variant_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
 
 def edge_mlp_variant(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                      b1, b2, bf, ln_scale, ln_bias,
-                     mode="stock", row_block=16, eps=1e-6):
+                     mode="stock", row_block=16, eps=1e-6,
+                     vmem_mb=32, semantics=None):
     B, L, _, Cz = z.shape
     H = k2.shape[0]
     Cout = kfh.shape[1]
@@ -172,9 +222,12 @@ def edge_mlp_variant(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
         pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
     ]
     args = [z, ni1, nj1, nfi, nfj, *weights, *vecs]
+    from jax.experimental.pallas import tpu as pltpu
+    cp = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024,
+                              dimension_semantics=semantics)
     return pl.pallas_call(
         functools.partial(_variant_body, eps=eps, mode=mode),
-        compiler_params=EM._cp(32 * 1024 * 1024),
+        compiler_params=cp,
         grid=(B, L // rb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),
@@ -187,6 +240,10 @@ def main():
     ap.add_argument("--B", type=int, default=8)
     ap.add_argument("--L", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--modes", default="copy,raw_dot,one_dot,dots_only,stock")
+    ap.add_argument("--rbs", default="16,32")
+    ap.add_argument("--vmem-mb", type=int, default=100)
+    ap.add_argument("--semantics", action="store_true")
     ns = ap.parse_args()
     B, L = ns.B, ns.L
     dt = jnp.dtype(ns.dtype)
@@ -223,14 +280,37 @@ def main():
                 for a, b in zip(out, (ref_out, ref_proj))]
         return max(errs)
 
-    for mode in ("one_dot", "bf16_out", "dots_only"):
-        for rb in (16,):
-            fn = lambda zc, *r: edge_mlp_variant(zc, *r, **w, mode=mode,
-                                                 row_block=rb)
+    ap2 = dict(modes=ns.modes.split(","), rbs=[int(x) for x in ns.rbs.split(",")])
+    for mode in ap2["modes"]:
+        if mode == "xla_copy":
+            # XLA's own stream rate on the same tensor (read+write 2x z bytes)
+            fn = lambda zc, *r: zc * jnp.asarray(1.0001, zc.dtype)
             t = slope_time(fn, z, rest)
-            err = check(fn) if mode in ("stock", "bf16_epilogue",
-                                        "bf16_out") else float("nan")
-            print(f"  {mode:14s} rb={rb:3d}    {t:7.3f} ms   max|err| {err:.2e}")
+            gbs = 2 * z.size * z.dtype.itemsize / (t * 1e-3) / 1e9
+            print(f"  {mode:14s} rb=  -    {t:7.3f} ms   {gbs:6.0f} GB/s")
+            continue
+        for rb in ap2["rbs"]:
+            if L % rb:
+                continue
+            sem = None
+            if ns.semantics:
+                sem = ("parallel", "arbitrary")
+            fn = lambda zc, *r: edge_mlp_variant(zc, *r, **w, mode=mode,
+                                                 row_block=rb,
+                                                 vmem_mb=ns.vmem_mb,
+                                                 semantics=sem)
+            try:
+                t = slope_time(fn, z, rest)
+            except Exception as e:  # noqa: BLE001 — report and move on
+                print(f"  {mode:14s} rb={rb:3d}    FAILED: {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]}")
+                continue
+            err = check(fn) if mode in ("stock", "bf16_epilogue") else float("nan")
+            extra = f"max|err| {err:.2e}"
+            if mode == "copy":
+                gbs = 2 * z.size * z.dtype.itemsize / (t * 1e-3) / 1e9
+                extra = f"{gbs:6.0f} GB/s"
+            print(f"  {mode:14s} rb={rb:3d}    {t:7.3f} ms   {extra}")
 
 
 if __name__ == "__main__":

@@ -58,8 +58,19 @@ def slope_time(make_step, carries, n_short=20, n_long=80):
 
 
 def fold(carry, *outs):
-    s = sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
-    return carry + (s * 1e-12).astype(carry.dtype)
+    """One-element in-place carry perturbation: defeats loop hoisting and
+    service memoization while adding ~zero HBM traffic. (The earlier
+    full-tensor `carry + sum(out)*1e-12` read every output AND re-wrote the
+    whole carry each iteration — a constant ~0.1-0.6 ms/iter of harness
+    traffic that inflated every component number; see BASELINE.md.) The
+    barrier forces full materialization of XLA-computed outputs that would
+    otherwise be DCE'd down to the one element read."""
+    outs = jax.lax.optimization_barrier(outs)
+    bump = sum(o.reshape(-1)[0].astype(jnp.float32) for o in outs)
+    flat = carry.reshape(-1)
+    flat = jax.lax.dynamic_update_slice(
+        flat, flat[:1] + (bump * 1e-12).astype(carry.dtype), (0,))
+    return flat.reshape(carry.shape)
 
 
 def main():
@@ -133,10 +144,7 @@ def main():
     def ipa_step(qc, projc):
         o, opt, opair = IA.ipa_attention_with_proj(
             qc, *kv, qp, kp, vp, projc, hw, mask)
-        s = (jnp.sum(o.astype(jnp.float32)) + jnp.sum(opt.astype(jnp.float32))
-             + jnp.sum(opair.astype(jnp.float32)))
-        return (qc + (s * 1e-12).astype(qc.dtype),
-                projc + (s * 1e-12).astype(projc.dtype))
+        return fold(qc, o, opt, opair), fold(projc, o)
 
     rows["ipa core (mega)"] = slope_time(ipa_step, (s_q, proj))
 
@@ -153,9 +161,7 @@ def main():
 
     def ipa_mod_step(sc, projc):
         out = ipa_mod.apply(params, sc, zb, frames, mask, proj=projc)
-        s = jnp.sum(out.astype(jnp.float32))
-        return (sc + (s * 1e-12).astype(sc.dtype),
-                projc + (s * 1e-12).astype(projc.dtype))
+        return fold(sc, out), fold(projc, out)
 
     rows["ipa module (mega)"] = slope_time(ipa_mod_step, (s_node, proj))
 
@@ -219,8 +225,7 @@ def main():
 
         def ipa_grad_step(qc, projc):
             gq, gp = jax.grad(ipa_loss, argnums=(0, 1))(qc, projc)
-            return (qc + (gq * 1e-12).astype(qc.dtype),
-                    projc + (gp * 1e-12).astype(projc.dtype))
+            return fold(qc, gq), fold(projc, gp)
 
         rows["ipa fwd+bwd (mega)"] = slope_time(ipa_grad_step, (s_q, proj))
 
