@@ -31,11 +31,12 @@ _jax_setup()
 import jax
 
 
-def sample_ensemble(cfg, params, sampler, feats, seed: int, n_conf: int):
+def sample_ensemble(cfg, params, sampler, feats, seed: int, n_conf: int,
+                    chained: bool = False):
     """Full delta-grid protocol; returns CA coords (n_conf_total, L, 3)."""
-    ens = sampler.sample_ensemble(
-        params, jax.random.PRNGKey(seed), feats,
-        n_replica=max(1, n_conf // len(sampler.cfg.delta_range())))
+    fn = sampler.sample_ensemble_chained if chained else sampler.sample_ensemble
+    ens = fn(params, jax.random.PRNGKey(seed), feats,
+             n_replica=max(1, n_conf // len(sampler.cfg.delta_range())))
     atom37 = np.concatenate([v for _, v in sorted(ens.items())], axis=0)
     return atom37[:, :, 1, :]  # CA
 
@@ -64,6 +65,8 @@ def main():
                          "instead of sampling a second seed")
     ap.add_argument("--save-npy", default=None,
                     help="save the seed-A CA ensemble here")
+    ap.add_argument("--chained", action="store_true",
+                    help="chained-delta single-program sampler (one compile)")
     args = ap.parse_args()
 
     from str2str_tpu.config.core import load_config
@@ -91,7 +94,8 @@ def main():
 
     n_res = prot.num_residues
     ca_a = sample_ensemble(cfg, params, sampler, feats,
-                           args.seeds[0], args.n_conf)[:, :n_res]
+                           args.seeds[0], args.n_conf,
+                           chained=args.chained)[:, :n_res]
     if args.save_npy:
         np.save(args.save_npy, ca_a)
     if args.compare_npy:
@@ -99,7 +103,8 @@ def main():
         label = f"seed{args.seeds[0]}-vs-{Path(args.compare_npy).name}"
     else:
         ca_b = sample_ensemble(cfg, params, sampler, feats,
-                               args.seeds[1], args.n_conf)[:, :n_res]
+                               args.seeds[1], args.n_conf,
+                               chained=args.chained)[:, :n_res]
         label = f"seed{args.seeds[0]}-vs-seed{args.seeds[1]}"
 
     out = {"target": Path(args.target).stem, "comparison": label,

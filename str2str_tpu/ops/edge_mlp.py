@@ -140,12 +140,16 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     proj (B, L, X, L) while the output tile is in VMEM (edge-stack
     mega-fusion: the consumer never reads z' from HBM) and the return value
     is the tuple (out, proj).
+
+    Rectangular inputs are supported: z may be (B, Lr, Lc, Cz) with
+    nj1/nfj holding the Lc column-side node parts — the sequence-sharded
+    trunk (parallel/seq_shard.py) calls with each device's column shard.
     """
-    B, L, _, Cz = z.shape
+    B, Lr, Lc, Cz = z.shape
     H = k2.shape[0]
     Cout = kfh.shape[1]
-    rb = min(row_block, L)
-    while L % rb:
+    rb = min(row_block, Lr)
+    while Lr % rb:
         rb -= 1
 
     dt = z.dtype
@@ -156,11 +160,11 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     weights = [w.astype(dt) for w in (k1z, k2, kfh, kfz)]
 
     in_specs = [
-        pl.BlockSpec((1, rb, L, Cz), lambda b, i: (b, i, 0, 0)),
+        pl.BlockSpec((1, rb, Lc, Cz), lambda b, i: (b, i, 0, 0)),
         pl.BlockSpec((1, rb, H), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Lc, H), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((1, rb, Cout), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, L, Cout), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Lc, Cout), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((Cz, H), lambda b, i: (0, 0)),
         pl.BlockSpec((H, H), lambda b, i: (0, 0)),
         pl.BlockSpec((H, Cout), lambda b, i: (0, 0)),
@@ -177,10 +181,10 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
         return pl.pallas_call(
             functools.partial(_kernel, eps=eps),
             compiler_params=_cp(32 * 1024 * 1024),
-            grid=(B, L // rb),
+            grid=(B, Lr // rb),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, L, L, Cout), dt),
+            out_specs=pl.BlockSpec((1, rb, Lc, Cout), lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, Lr, Lc, Cout), dt),
         )(*args)
 
     wcatT, bcat = proj_w
@@ -193,15 +197,15 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     return pl.pallas_call(
         functools.partial(_kernel_proj, eps=eps),
         compiler_params=_cp(32 * 1024 * 1024),
-        grid=(B, L // rb),
+        grid=(B, Lr // rb),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, rb, X, L), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, rb, Lc, Cout), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, rb, X, Lc), lambda b, i: (b, i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, L, Cout), dt),
-            jax.ShapeDtypeStruct((B, L, X, L), dt),
+            jax.ShapeDtypeStruct((B, Lr, Lc, Cout), dt),
+            jax.ShapeDtypeStruct((B, Lr, X, Lc), dt),
         ],
     )(*args)
 
@@ -360,25 +364,26 @@ def _bwd_kernel_proj(*refs, eps: float):
               (wcatT, dprojT, dwcatT, dbcat), eps)
 
 
-def _pick_bwd_row_block(L: int, Cz: int, H: int, Cout: int, itemsize: int):
+def _pick_bwd_row_block(Lr: int, Lc: int, Cz: int, H: int, Cout: int,
+                        itemsize: int):
     """Largest row block whose backward working set fits scoped VMEM.
     Candidates stay multiples of 8 (Mosaic block-shape constraint on the
-    (1, rb, H) node-grad blocks) unless rb == L (full-dim blocks)."""
+    (1, rb, H) node-grad blocks) unless rb == Lr (full-dim blocks)."""
     budget = 13 * 1024 * 1024
-    fixed = ((L * H + L * Cout) * 4 * 2      # nj1/nfj in + dnj1/dnfj accum
+    fixed = ((Lc * H + Lc * Cout) * 4 * 2    # nj1/nfj in + dnj1/dnfj accum
              + (Cz * H + H * H + H * Cout + Cz * Cout) * (itemsize + 4))
     for rb in (16, 8):
-        if L % rb and rb != L:
+        if Lr % rb and rb != Lr:
             continue
-        per = (2 * rb * L * Cz * itemsize        # z block (double-buffered)
-               + 2 * rb * L * Cout * itemsize    # dout block
-               + 2 * rb * L * Cz * itemsize      # dz out
-               + 2 * rb * L * H * itemsize       # h1, h2 (dt)
-               + 6 * rb * L * Cout * 4           # y/xhat/dout/g/dy f32
-               + 3 * rb * L * H * 4)             # dh1/dh2 f32 (liveness)
+        per = (2 * rb * Lc * Cz * itemsize       # z block (double-buffered)
+               + 2 * rb * Lc * Cout * itemsize   # dout block
+               + 2 * rb * Lc * Cz * itemsize     # dz out
+               + 2 * rb * Lc * H * itemsize      # h1, h2 (dt)
+               + 6 * rb * Lc * Cout * 4          # y/xhat/dout/g/dy f32
+               + 3 * rb * Lc * H * 4)            # dh1/dh2 f32 (liveness)
         if fixed + per <= budget:
             return rb
-    return 8 if L % 8 == 0 else L
+    return 8 if Lr % 8 == 0 else Lr
 
 
 def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
@@ -388,14 +393,14 @@ def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     """Hand-written backward. Returns grads for every input of
     `edge_mlp_pallas` (in order); with proj_w/dproj given, additionally
     (dwcatT, dbcat) appended."""
-    B, L, _, Cz = z.shape
+    B, Lr, Lc, Cz = z.shape
     H = k2.shape[0]
     Cout = kfh.shape[1]
     dt = z.dtype
-    rb = row_block or _pick_bwd_row_block(L, Cz, H, Cout,
+    rb = row_block or _pick_bwd_row_block(Lr, Lc, Cz, H, Cout,
                                           jnp.dtype(dt).itemsize)
-    rb = min(rb, L)
-    while L % rb:
+    rb = min(rb, Lr)
+    while Lr % rb:
         rb -= 1
 
     ni1, nj1 = ni1.astype(jnp.float32), nj1.astype(jnp.float32)
@@ -417,13 +422,13 @@ def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
         pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
     ]
     in_specs = [
-        pl.BlockSpec((1, rb, L, Cz), lambda b, i: (b, i, 0, 0)),
+        pl.BlockSpec((1, rb, Lc, Cz), lambda b, i: (b, i, 0, 0)),
         pl.BlockSpec((1, rb, H), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Lc, H), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((1, rb, Cout), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, L, Cout), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Lc, Cout), lambda b, i: (b, 0, 0)),
         *fixed_w,
-        pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),
+        pl.BlockSpec((1, rb, Lc, Cout), lambda b, i: (b, i, 0, 0)),
     ]
     args = [z, ni1, nj1, nfi, nfj, *weights, *vecs, dout.astype(dt)]
     extra_out_specs, extra_out_shapes = [], []
@@ -432,12 +437,12 @@ def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
         kern = _bwd_kernel_proj
         wcatT, _bcat = proj_w
         X = wcatT.shape[0]
-        # dproj arrives (B, L, X, L); the kernel wants the (B, L, L, X)
+        # dproj arrives (B, Lr, X, Lc); the kernel wants the (B, Lr, Lc, X)
         # transpose so the per-row fold-in matmul is natural (M,K)x(K,N).
         dprojT = dproj.astype(dt).transpose(0, 1, 3, 2)
         in_specs += [
             pl.BlockSpec((X, Cout), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, rb, L, X), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, rb, Lc, X), lambda b, i: (b, i, 0, 0)),
         ]
         args += [wcatT.astype(dt), dprojT]
         extra_out_specs = [
@@ -451,14 +456,14 @@ def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     outs = pl.pallas_call(
         functools.partial(kern, eps=eps),
         compiler_params=_cp(64 * 1024 * 1024),
-        grid=(B, L // rb),
+        grid=(B, Lr // rb),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, rb, L, Cz), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, rb, Lc, Cz), lambda b, i: (b, i, 0, 0)),
             pl.BlockSpec((1, rb, H), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lc, H), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, rb, Cout), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, Cout), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lc, Cout), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((Cz, H), lambda b, i: (0, 0)),
             pl.BlockSpec((H, H), lambda b, i: (0, 0)),
             pl.BlockSpec((H, Cout), lambda b, i: (0, 0)),
@@ -471,11 +476,11 @@ def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
             *extra_out_specs,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, L, Cz), dt),       # dz
-            jax.ShapeDtypeStruct((B, L, H), f32),          # dni1
-            jax.ShapeDtypeStruct((B, L, H), f32),          # dnj1 (accum)
-            jax.ShapeDtypeStruct((B, L, Cout), f32),       # dnfi
-            jax.ShapeDtypeStruct((B, L, Cout), f32),       # dnfj (accum)
+            jax.ShapeDtypeStruct((B, Lr, Lc, Cz), dt),     # dz
+            jax.ShapeDtypeStruct((B, Lr, H), f32),         # dni1
+            jax.ShapeDtypeStruct((B, Lc, H), f32),         # dnj1 (accum)
+            jax.ShapeDtypeStruct((B, Lr, Cout), f32),      # dnfi
+            jax.ShapeDtypeStruct((B, Lc, Cout), f32),      # dnfj (accum)
             jax.ShapeDtypeStruct((Cz, H), f32),            # dk1z (accum)
             jax.ShapeDtypeStruct((H, H), f32),             # dk2 (accum)
             jax.ShapeDtypeStruct((H, Cout), f32),          # dkfh (accum)

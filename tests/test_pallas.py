@@ -468,3 +468,86 @@ def test_network_mega_fusion_matches_xla_paths(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-2,
             err_msg=jax.tree_util.keystr(k1))
+
+
+def test_edge_mlp_kernel_rectangular_matches_reference(rng):
+    """Rectangular (rows != cols) inputs: the sequence-sharded trunk calls
+    the kernel with each device's column shard (B, Lr, Lc, Cz)."""
+    from str2str_tpu.ops import edge_mlp as EM
+
+    B, Lr, Lc, Cz, H, Cout = 2, 32, 16, 16, 48, 16
+
+    def r(*shape, scale=0.3):
+        return jnp.asarray(rng.randn(*shape) * scale, dtype=jnp.float32)
+
+    args = (r(B, Lr, Lc, Cz), r(B, Lr, H), r(B, Lc, H), r(B, Lr, Cout),
+            r(B, Lc, Cout), r(Cz, H), r(H, H), r(H, Cout), r(Cz, Cout),
+            r(H, scale=0.1), r(H, scale=0.1), r(Cout, scale=0.1),
+            jnp.ones(Cout), jnp.zeros(Cout))
+    ref = EM.edge_mlp_reference(*args)
+    assert ref.shape == (B, Lr, Lc, Cout)
+    with _interpret_ctx():
+        out = EM.edge_mlp_pallas(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # Backward too (the training path under the sharded trunk).
+    w = r(B, Lr, Lc, Cout)
+
+    def loss(fn, *a):
+        o = fn(*a)
+        return jnp.sum(o * w + 0.3 * o ** 2)
+
+    argnums = tuple(range(14))
+    g_ref = jax.grad(lambda *a: loss(EM.edge_mlp_reference, *a),
+                     argnums)(*args)
+    with _interpret_ctx():
+        g_k = jax.grad(lambda *a: loss(EM.edge_mlp, *a), argnums)(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_seq_sharded_trunk_kernel_path_matches_xla(rng):
+    """The sequence-sharded EdgeTransition with the Pallas kernel forced on
+    (interpreted) must match the XLA path on the same column shard."""
+    from str2str_tpu.model.layers import EdgeTransition
+
+    node = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    edge_local = jnp.asarray(rng.randn(2, 16, 16, 24), jnp.float32)
+
+    import unittest.mock as mock
+    from unittest.mock import patch
+    from jax.experimental import pallas as pl
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:2])
+    mesh = Mesh(devs, ("seq",))
+
+    def run(use_pallas):
+        layer = EdgeTransition(edge_embed_out=24, use_pallas=use_pallas,
+                               seq_axis="seq")
+
+        def body(n, e):
+            params = layer.init(jax.random.PRNGKey(0), n, e)
+            return layer.apply(params, n, e)
+
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P(), P(None, None, "seq", None)),
+                       out_specs=P(None, None, "seq", None),
+                       check_rep=False)
+        return fn(node, edge_local)
+
+    out_off = run("off")
+    real_call = pl.pallas_call
+
+    def fake_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", fake_call):
+        out_on = run("on")
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               atol=2e-5, rtol=2e-5)
