@@ -162,57 +162,87 @@ class InvariantPointAttention(nn.Module):
                 kl, vl, k_pts_l, v_pts_l, mask_l = local_cols(
                     self.seq_axis, k, v, k_pts, v_pts, mask)
 
-            a = jnp.einsum("blhc,bmhc->bhlm", q, kl, precision=_HP)
-            a = a * math.sqrt(1.0 / (3 * C))
-            b = jnp.einsum("blmc,ch->blmh", z, kb.astype(z.dtype)) + bb
-            a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2))
-
-            # Point attention via the distance expansion (MXU form).
-            Lk = kl.shape[1]
-            pt_scale = head_weights * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
-            qf = q_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
-            kf = k_pts_l.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, Lk, Pq * 3)
-            cross = jnp.einsum("bhlp,bhmp->bhlm", qf, kf, precision=_HP)
-            q_sq = jnp.sum(qf * qf, axis=-1)  # (B, H, L)
-            k_sq = jnp.sum(kf * kf, axis=-1)  # (B, H, Lk)
-            dist2 = q_sq[..., :, None] + k_sq[..., None, :] - 2.0 * cross
-            a = a - 0.5 * pt_scale[None, :, None, None] * dist2
-
-            square_mask = self.inf * (mask[:, None, :, None]
-                                      * mask_l[:, None, None, :] - 1.0)
-            a = (a + square_mask).astype(jnp.float32)
-            if self.seq_axis:
-                amax = lax.pmax(jnp.max(a, axis=-1, keepdims=True),
-                                self.seq_axis)
-                e = jnp.exp(a - amax)
-                denom = lax.psum(jnp.sum(e, axis=-1, keepdims=True),
-                                 self.seq_axis)
-                a = e / denom
+            use_seq_kernel = bool(self.seq_axis) and (
+                self.use_pallas == "on"
+                or (self.use_pallas == "auto" and _ia.is_supported()))
+            if use_seq_kernel:
+                # Fused Pallas attention over the LOCAL key shard with
+                # flash-style partial softmax; the exact combine is two
+                # pmax/psum rounds over the sequence axis
+                # (ops/ipa_attention.py::ipa_attention_partial).
+                Lk = kl.shape[1]
+                flat = (q.reshape(B, L, H * C),
+                        kl.reshape(B, Lk, H * C), vl.reshape(B, Lk, H * C),
+                        q_pts.reshape(B, L, H * Pq * 3),
+                        k_pts_l.reshape(B, Lk, H * Pq * 3),
+                        v_pts_l.reshape(B, Lk, H * Pv * 3))
+                ou, optu, opairu, mloc, sloc = _ia.ipa_attention_partial(
+                    *flat, z, kb, bb, kdz, bdz, head_weights, mask_l)
+                m_g = lax.pmax(mloc, self.seq_axis)
+                w = jnp.exp(mloc - m_g)                        # (B,H,L,1)
+                denom = lax.psum(sloc * w, self.seq_axis)
+                o4 = lax.psum(ou * w, self.seq_axis) / denom
+                opt4 = lax.psum(optu * w, self.seq_axis) / denom
+                wq = w.transpose(0, 2, 1, 3)                   # (B,L,H,1)
+                opair4 = (lax.psum(opairu * wq, self.seq_axis)
+                          / denom.transpose(0, 2, 1, 3))
+                dt_o = q.dtype
+                o = _ia._unheads(o4.astype(dt_o))              # (B,L,H*C)
+                opt_flat = _ia._unheads(opt4.astype(dt_o))
+                o_pt = opt_flat.reshape(B, L, H * Pv, 3)
+                o_pair = opair4.reshape(B, L, H * (c_z // 4)).astype(dt_o)
             else:
-                a = nn.softmax(a, axis=-1)
+                a = jnp.einsum("blhc,bmhc->bhlm", q, kl, precision=_HP)
+                a = a * math.sqrt(1.0 / (3 * C))
+                b = jnp.einsum("blmc,ch->blmh", z, kb.astype(z.dtype)) + bb
+                a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2))
 
-            # scalar values
-            o = jnp.einsum("bhlm,bmhc->blhc", a.astype(vl.dtype), vl,
-                           precision=_HP)
-            o = o.reshape(B, L, H * C)
+                # Point attention via the distance expansion (MXU form).
+                Lk = kl.shape[1]
+                pt_scale = head_weights * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
+                qf = q_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
+                kf = k_pts_l.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, Lk, Pq * 3)
+                cross = jnp.einsum("bhlp,bhmp->bhlm", qf, kf, precision=_HP)
+                q_sq = jnp.sum(qf * qf, axis=-1)  # (B, H, L)
+                k_sq = jnp.sum(kf * kf, axis=-1)  # (B, H, Lk)
+                dist2 = q_sq[..., :, None] + k_sq[..., None, :] - 2.0 * cross
+                a = a - 0.5 * pt_scale[None, :, None, None] * dist2
 
-            # point values: aggregate in global coords
-            vf = v_pts_l.transpose(0, 2, 1, 3, 4).reshape(B, H, Lk, Pv * 3)
-            o_pt = jnp.einsum("bhlm,bhmp->bhlp", a.astype(vf.dtype), vf, precision=_HP)
-            o_pt = o_pt.reshape(B, H, L, Pv, 3).transpose(0, 2, 1, 3, 4)
-            o_pt = o_pt.reshape(B, L, H * Pv, 3)
+                square_mask = self.inf * (mask[:, None, :, None]
+                                          * mask_l[:, None, None, :] - 1.0)
+                a = (a + square_mask).astype(jnp.float32)
+                if self.seq_axis:
+                    amax = lax.pmax(jnp.max(a, axis=-1, keepdims=True),
+                                    self.seq_axis)
+                    e = jnp.exp(a - amax)
+                    denom = lax.psum(jnp.sum(e, axis=-1, keepdims=True),
+                                     self.seq_axis)
+                    a = e / denom
+                else:
+                    a = nn.softmax(a, axis=-1)
 
-            # pair values
-            pair_z = (jnp.einsum("blmc,cd->blmd", z, kdz.astype(z.dtype))
-                      + bdz).astype(z.dtype)
-            o_pair = jnp.einsum("bhlm,blmc->blhc", a.astype(pair_z.dtype),
-                                pair_z, precision=_HP).reshape(B, L, H * (c_z // 4))
-            o_pair = o_pair.astype(o.dtype)
-            if self.seq_axis:
-                # Partial sums over local keys -> exact with one psum each.
-                o = lax.psum(o, self.seq_axis)
-                o_pt = lax.psum(o_pt, self.seq_axis)
-                o_pair = lax.psum(o_pair, self.seq_axis)
+                # scalar values
+                o = jnp.einsum("bhlm,bmhc->blhc", a.astype(vl.dtype), vl,
+                               precision=_HP)
+                o = o.reshape(B, L, H * C)
+
+                # point values: aggregate in global coords
+                vf = v_pts_l.transpose(0, 2, 1, 3, 4).reshape(B, H, Lk, Pv * 3)
+                o_pt = jnp.einsum("bhlm,bhmp->bhlp", a.astype(vf.dtype), vf, precision=_HP)
+                o_pt = o_pt.reshape(B, H, L, Pv, 3).transpose(0, 2, 1, 3, 4)
+                o_pt = o_pt.reshape(B, L, H * Pv, 3)
+
+                # pair values
+                pair_z = (jnp.einsum("blmc,cd->blmd", z, kdz.astype(z.dtype))
+                          + bdz).astype(z.dtype)
+                o_pair = jnp.einsum("bhlm,blmc->blhc", a.astype(pair_z.dtype),
+                                    pair_z, precision=_HP).reshape(B, L, H * (c_z // 4))
+                o_pair = o_pair.astype(o.dtype)
+                if self.seq_axis:
+                    # Partial sums over local keys -> exact with one psum each.
+                    o = lax.psum(o, self.seq_axis)
+                    o_pt = lax.psum(o_pt, self.seq_axis)
+                    o_pair = lax.psum(o_pair, self.seq_axis)
 
         # back to local frames + norms
         o_pt = _invert_apply_frames(frames, o_pt)

@@ -139,6 +139,49 @@ def _fwd_kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
         preferred_element_type=jnp.float32).astype(dt)
 
 
+def _fwd_kernel_partial(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
+                        o_ref, opt_ref, opair_ref, m_ref, s_ref,
+                        *, H: int, Cdz: int):
+    """Flash-style PARTIAL softmax over a LOCAL key shard (sequence-sharded
+    trunk): same operands as `_fwd_kernel` with the key axis = this device's
+    Lc columns, but the outputs are UNNORMALIZED exp-weighted sums plus the
+    per-(head, query) row max `m` and exp-sum `s`. The exact cross-shard
+    combine runs outside under shard_map:
+
+        m_g = pmax(m);  w = exp(m - m_g)
+        out = psum(out_unnorm * w) / psum(s * w)
+
+    Outputs are fp32 (they are pre-normalization partial sums whose
+    magnitude varies with the local max; normalizing happens after the
+    collectives)."""
+    dt = v_ref.dtype
+
+    ps = []
+    for h in range(H):
+        logits = jnp.dot(qhat_ref[0, h], khat_ref[0, h],
+                         preferred_element_type=jnp.float32)  # (Qb, Lc)
+        logits = logits + proj_ref[0][:, Cdz + h, :].astype(jnp.float32)
+
+        m = jnp.max(logits, axis=-1, keepdims=True)           # (Qb, 1)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        m_ref[0, h] = m
+        s_ref[0, h] = s
+        p = e.astype(dt)
+        ps.append(p)
+
+        o_ref[0, h] = jnp.dot(p, v_ref[0, h],
+                              preferred_element_type=jnp.float32)
+        opt_ref[0, h] = jax.lax.dot_general(
+            p, vf_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    p_all = jnp.stack(ps, axis=1)  # (Qb, H, Lc)
+    opair_ref[0] = jax.lax.dot_general(
+        p_all, proj_ref[0][:, :Cdz, :], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
@@ -477,6 +520,106 @@ def _core_reference(qhat, khat, v4, vf4, proj):
     opair = jnp.einsum("bhql,bqcl->bqhc", p, pz,
                        preferred_element_type=jnp.float32).astype(dt)
     return o, opt, opair
+
+
+def _partial_core_call(qhat, khat, v4, vf4, proj, qb: int):
+    B, H, Qtot, D2, L, C, Pv3, Cdz, _ = _core_shapes(qhat, khat, v4, vf4, proj)
+    f32 = jnp.float32
+    kern = functools.partial(_fwd_kernel_partial, H=H, Cdz=Cdz)
+    return pl.pallas_call(
+        kern,
+        compiler_params=_cp(32 * 1024 * 1024),
+        grid=(B, Qtot // qb),
+        in_specs=[
+            pl.BlockSpec((1, H, qb, D2), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, D2, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, L, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Pv3, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, qb, Cdz + H, L), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, qb, C), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, qb, Pv3), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, qb, H, Cdz), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, H, qb, 1), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, qb, 1), lambda b, i: (b, 0, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Qtot, C), f32),
+            jax.ShapeDtypeStruct((B, H, Qtot, Pv3), f32),
+            jax.ShapeDtypeStruct((B, Qtot, H, Cdz), f32),
+            jax.ShapeDtypeStruct((B, H, Qtot, 1), f32),
+            jax.ShapeDtypeStruct((B, H, Qtot, 1), f32),
+        ],
+    )(qhat, khat, v4, vf4, proj)
+
+
+def _partial_core_reference(qhat, khat, v4, vf4, proj):
+    """XLA oracle for the partial-softmax core (CPU fallback and the
+    custom_vjp backward — the sharded path is inference-first; training
+    through it differentiates this oracle)."""
+    B, H, Qtot, D2, L, C, Pv3, Cdz, _ = _core_shapes(qhat, khat, v4, vf4, proj)
+    dt = v4.dtype
+    logits = jnp.einsum("bhqd,bhdl->bhql", qhat, khat,
+                        preferred_element_type=jnp.float32)
+    bias = proj[:, :, Cdz:, :].astype(jnp.float32)
+    logits = logits + bias.transpose(0, 2, 1, 3)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    p = e.astype(dt)
+    o = jnp.einsum("bhql,bhlc->bhqc", p, v4,
+                   preferred_element_type=jnp.float32)
+    opt = jnp.einsum("bhql,bhpl->bhqp", p, vf4,
+                     preferred_element_type=jnp.float32)
+    pz = proj[:, :, :Cdz, :]
+    opair = jnp.einsum("bhql,bqcl->bqhc", p, pz,
+                       preferred_element_type=jnp.float32)
+    return o, opt, opair, m, s
+
+
+@jax.custom_vjp
+def _attn_core_partial(qhat, khat, v4, vf4, proj):
+    B, H, Qtot, D2, L, C, Pv3, Cdz, Pq = _core_shapes(qhat, khat, v4, vf4, proj)
+    qb = _pick_query_block(Qtot, L, H, C, Pq, Pv3 // 3, Cdz,
+                           jnp.dtype(v4.dtype).itemsize)
+    if qb is None or not is_supported():
+        return _partial_core_reference(qhat, khat, v4, vf4, proj)
+    return _partial_core_call(qhat, khat, v4, vf4, proj, qb)
+
+
+def _attn_core_partial_fwd(qhat, khat, v4, vf4, proj):
+    return _attn_core_partial(qhat, khat, v4, vf4, proj), \
+        (qhat, khat, v4, vf4, proj)
+
+
+def _attn_core_partial_bwd(res, cts):
+    _, vjp = jax.vjp(_partial_core_reference, *res)
+    return vjp(cts)
+
+
+_attn_core_partial.defvjp(_attn_core_partial_fwd, _attn_core_partial_bwd)
+
+
+def ipa_attention_partial(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+                          head_weights, mask, *, inf: float = 1e5):
+    """Fused IPA attention over a LOCAL key shard with partial softmax.
+
+    Same contract as `ipa_attention` except k/v/k_pts/v_pts/mask hold this
+    device's key shard (length Lc) and z the local (B, Qtot, Lc, Cz) column
+    shard. Returns head-major UNNORMALIZED fp32 partials
+    (o (B,H,Q,C), opt (B,H,Q,3Pv), opair (B,Q,H,Cdz), m (B,H,Q,1),
+    s (B,H,Q,1)); the caller performs the exact cross-shard combine
+
+        m_g = pmax(m); w = exp(m - m_g)
+        out = psum(out * w-broadcast) / psum(s * w)
+
+    under shard_map (see model/ipa.py seq_axis branch).
+    """
+    qhat, khat, v4, vf4, proj = _prep(
+        q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+        head_weights, mask, inf)
+    return _attn_core_partial(qhat, khat, v4, vf4, proj)
 
 
 @jax.custom_vjp

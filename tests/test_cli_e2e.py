@@ -51,6 +51,32 @@ def test_sample_cli_end_to_end(tmp_path, fixture_pdb):
         assert np.isfinite(m.atom_positions).all()
 
 
+def test_sample_cli_chained_end_to_end(tmp_path, fixture_pdb):
+    """model.inference.chained=true: same CLI surface, one compiled program
+    for the whole delta grid."""
+    from str2str_tpu.cli.sample import main as sample_main
+    from str2str_tpu.io import protein as prot_io
+
+    out = sample_main([
+        f"data.dataset.path_to_dataset={fixture_pdb}",
+        f"model.inference.output_dir={tmp_path}/samples",
+        "model.inference.n_replica=3",
+        "model.inference.replica_per_batch=3",
+        "model.inference.num_timesteps=10",
+        "model.inference.delta_min=0.3",
+        "model.inference.delta_max=0.4",
+        "model.inference.delta_step=0.1",
+        "model.inference.chained=true",
+        "data.buckets=[16]",
+        *FAST_DIFFUSER,
+    ])
+    merged = os.path.join(out, "CLN025.pdb")
+    models = prot_io.parse_pdb_models(open(merged).read())
+    assert len(models) == 6  # 3 replicas x 2 deltas
+    for m in models:
+        assert np.isfinite(m.atom_positions).all()
+
+
 def test_evaluate_cli(tmp_path, fixture_pdb, rng):
     """Metrics path: fake a prediction ensemble + target ensemble."""
     from str2str_tpu.cli.evaluate import evaluate_prediction

@@ -164,3 +164,52 @@ def test_seq_sharded_1024mer_end_to_end(rng):
     a37 = np.asarray(out["atom37"])
     assert a37.shape == (B, L, 37, 3)
     assert np.isfinite(a37).all()
+
+
+def test_seq_sharded_kernel_attention_matches_xla(rng):
+    """The sequence-sharded trunk with the Pallas kernels forced on
+    (interpreted; partial-softmax attention + rectangular edge kernel) must
+    match the sharded XLA path on the CPU mesh."""
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from str2str_tpu.ops import ipa_attention as IA
+
+    B, L = 2, 64
+    batch = {k: jnp.asarray(v) for k, v in _batch(rng, B, L).items()}
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("seq",))
+
+    params = ScoreNetwork(_small_cfg()).init(jax.random.PRNGKey(1), batch)
+    net_off = ScoreNetwork(_small_cfg(seq_axis="seq"))
+    fn_off = shard_map(lambda p, b: net_off.apply(p, b), mesh=mesh,
+                       in_specs=(P(), P()), out_specs=P(), check_rep=False)
+    ref = fn_off(params, batch)
+
+    import dataclasses
+    net_on = ScoreNetwork(dataclasses.replace(
+        _small_cfg(seq_axis="seq"), use_pallas="on", use_pallas_ipa="on"))
+    real_call = pl.pallas_call
+
+    def fake_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    old = IA._FORCE_QB
+    IA._FORCE_QB = 16
+    try:
+        with mock.patch.object(pl, "pallas_call", fake_call):
+            fn_on = shard_map(lambda p, b: net_on.apply(p, b), mesh=mesh,
+                              in_specs=(P(), P()), out_specs=P(),
+                              check_rep=False)
+            out = fn_on(params, batch)
+    finally:
+        IA._FORCE_QB = old
+
+    m = np.asarray(batch["residue_mask"])[..., None]
+    for key in ("quat", "trans", "psi"):
+        np.testing.assert_allclose(
+            np.asarray(ref[key]) * m, np.asarray(out[key]) * m,
+            atol=2e-4, rtol=2e-4, err_msg=key)
