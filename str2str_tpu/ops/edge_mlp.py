@@ -64,8 +64,12 @@ def _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     z2 = z.reshape(R * L, Cz)
 
     h = jnp.dot(z2, k1z_ref[:], preferred_element_type=jnp.float32)
-    h = h.reshape(R, L, -1) + ni1_ref[0][:, None, :] + nj1_ref[0][None, :, :]
-    h = jnp.maximum(h + b1_ref[0], 0.0).astype(z.dtype)
+    # Fold the bias row into the (R, H)-sized row term BEFORE broadcasting:
+    # one fewer full-size VPU pass over the (R, L, H) hidden per add chain
+    # (Mosaic lowers each elementwise op as its own VMEM pass).
+    ni1b = ni1_ref[0] + b1_ref[0]
+    h = h.reshape(R, L, -1) + ni1b[:, None, :] + nj1_ref[0][None, :, :]
+    h = jnp.maximum(h, 0.0).astype(z.dtype)
     H = h.shape[-1]
 
     h = jnp.dot(h.reshape(R * L, H), k2_ref[:],
@@ -76,8 +80,8 @@ def _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     o = jnp.dot(h, kfh_ref[:], preferred_element_type=jnp.float32)
     o = o + jnp.dot(z2, kfz_ref[:], preferred_element_type=jnp.float32)
     Cout = o.shape[-1]
-    o = o.reshape(R, L, Cout) + nfi_ref[0][:, None, :] + nfj_ref[0][None, :, :]
-    o = o + bf_ref[0]
+    nfib = nfi_ref[0] + bf_ref[0]
+    o = o.reshape(R, L, Cout) + nfib[:, None, :] + nfj_ref[0][None, :, :]
 
     mean = jnp.mean(o, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(o - mean), axis=-1, keepdims=True)
@@ -259,8 +263,9 @@ def _bwd_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
 
     # ---- recompute forward hiddens (identical math to _kernel) ----------
     x = jnp.dot(z2, k1z_ref[:], preferred_element_type=jnp.float32)
-    x = x.reshape(R, L, H) + ni1_ref[0][:, None, :] + nj1_ref[0][None, :, :]
-    h1 = jnp.maximum(x + b1_ref[0], 0.0).astype(dt)      # (R, L, H)
+    ni1b = ni1_ref[0] + b1_ref[0]
+    x = x.reshape(R, L, H) + ni1b[:, None, :] + nj1_ref[0][None, :, :]
+    h1 = jnp.maximum(x, 0.0).astype(dt)                  # (R, L, H)
     h1_2 = h1.reshape(R * L, H)
 
     h2 = jnp.dot(h1_2, k2_ref[:], preferred_element_type=jnp.float32)
@@ -269,8 +274,8 @@ def _bwd_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     y = jnp.dot(h2, kfh_ref[:], preferred_element_type=jnp.float32)
     y = y + jnp.dot(z2, kfz_ref[:], preferred_element_type=jnp.float32)
     Cout = y.shape[-1]
-    y = y.reshape(R, L, Cout) + nfi_ref[0][:, None, :] + nfj_ref[0][None, :, :]
-    y = y + bf_ref[0]
+    nfib = nfi_ref[0] + bf_ref[0]
+    y = y.reshape(R, L, Cout) + nfib[:, None, :] + nfj_ref[0][None, :, :]
     mean = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
