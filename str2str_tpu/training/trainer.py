@@ -44,6 +44,10 @@ class TrainConfig:
     min_lr: float = 1e-8
     max_epochs: int = 500
     max_steps: int = -1
+    # Wall-clock budget "DD:HH:MM:SS" (Lightning trainer.max_time,
+    # reference README.md:107); training stops gracefully (checkpoint +
+    # logger finalize) after the budget elapses. Empty disables.
+    max_time: str = ""
     seed: int = 0
     num_devices: int = -1
     log_every_n_steps: int = 50
@@ -280,6 +284,14 @@ class Trainer:
         if cfg.detect_anomaly:
             jax.config.update("jax_debug_nans", True)
 
+        deadline = None
+        if cfg.max_time:
+            parts = [float(x) for x in str(cfg.max_time).split(":")]
+            while len(parts) < 4:
+                parts.insert(0, 0.0)
+            d, h, m, sec = parts[-4:]
+            deadline = time.time() + ((d * 24 + h) * 60 + m) * 60 + sec
+
         key = jax.random.PRNGKey(cfg.seed + start_epoch)
         best_val = float(sched["best_val"])
         plateau_wait = int(sched["plateau_wait"])
@@ -340,6 +352,9 @@ class Trainer:
                     if len(pending[shape_key]) == K:
                         run_steps(pending.pop(shape_key))
                 if 0 < cfg.max_steps <= step:
+                    break
+                if deadline is not None and time.time() >= deadline:
+                    stop_early = True
                     break
             # Leftover partial groups run per-step (avoids compiling a scan
             # for every residual group size).
@@ -404,6 +419,11 @@ class Trainer:
                     metadata={"val_loss": row.get("val/loss"), "epoch": epoch})
                 ckpt_lib.prune_checkpoints(str(self.ckpt_dir), cfg.keep_ckpts)
 
+            if deadline is not None and time.time() >= deadline:
+                from ..utils.logging import get_logger
+                get_logger(__name__).info(
+                    "max_time %s reached — stopping", cfg.max_time)
+                stop_early = True
             if stop_early or 0 < cfg.max_steps <= step:
                 break
 

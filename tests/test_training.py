@@ -457,3 +457,36 @@ def test_steps_per_call_scan(rng):
     assert r["step"] == 5
     row = r["history"][0]
     assert np.isfinite(row["train/loss"])
+
+
+def test_max_time_stops_training(tmp_path, rng):
+    """trainer.max_time (Lightning "DD:HH:MM:SS" wall budget, reference
+    README usage `+trainer.max_time=...`) stops the fit loop gracefully."""
+    net, base = _tiny_setup()
+    batch = _batch(rng, B=2, L=12)
+    params = _init_params(net, batch)
+
+    class StubTrainer(Trainer):
+        def compile(self):
+            def train_step(p, o, key, b):
+                import time as _t
+                _t.sleep(0.05)
+                return p, o, {"loss": jnp.asarray(1.0)}
+
+            def eval_step(p, key, b):
+                return {"loss": jnp.asarray(1.0)}
+
+            self.train_step, self.eval_step = train_step, eval_step
+
+    t = StubTrainer(net, base.diffuser, LossConfig(),
+                    TrainConfig(lr=5e-4, num_devices=1, seed=0,
+                                max_epochs=10000, max_time="00:00:00:01"),
+                    log_dir=str(tmp_path / "logs"),
+                    ckpt_dir=str(tmp_path / "ckpt"))
+    import time as _t
+    t0 = _t.time()
+    r = t.fit(params, [batch] * 1000, [batch])
+    assert r["stopped_early"]
+    # A 1 s budget must not run anywhere near the full 10000 epochs.
+    assert _t.time() - t0 < 60
+    assert len(r["history"]) <= 2
