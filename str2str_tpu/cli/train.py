@@ -77,6 +77,7 @@ def main(argv=None):
             min_lr=float(cfg.model.scheduler.get("min_lr", 1e-8)),
             max_epochs=tr.max_epochs, max_steps=tr.get("max_steps", -1),
             max_time=str(tr.get("max_time", "") or ""),
+            min_epochs=int(tr.get("min_epochs", 1) or 1),
             seed=cfg.get("seed", 0) or 0, num_devices=tr.get("num_devices", -1),
             log_every_n_steps=tr.get("log_every_n_steps", 50),
             val_every_n_epochs=tr.get("val_every_n_epochs", 1),

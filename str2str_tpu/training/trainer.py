@@ -42,6 +42,9 @@ class TrainConfig:
     plateau_factor: float = 0.1
     plateau_patience: int = 10
     min_lr: float = 1e-8
+    # Lightning min_epochs: EarlyStopping may not fire before this many
+    # epochs have run (reference configs/trainer/default.yaml:6).
+    min_epochs: int = 1
     max_epochs: int = 500
     max_steps: int = -1
     # Wall-clock budget "DD:HH:MM:SS" (Lightning trainer.max_time,
@@ -401,7 +404,8 @@ class Trainer:
                         lr = max(lr * cfg.plateau_factor, cfg.min_lr)
                         opt_state = set_learning_rate(opt_state, lr)
                         plateau_wait = 0
-                    if 0 < cfg.early_stopping_patience <= es_wait:
+                    if (0 < cfg.early_stopping_patience <= es_wait
+                            and epoch + 1 >= cfg.min_epochs):
                         stop_early = True
 
             self._log_csv(row)
