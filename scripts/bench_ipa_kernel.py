@@ -65,17 +65,24 @@ def make_args(B, L, H, C, Pq, Pv, Cz, dtype, seed=0):
 def timeit(fn, q, big, rest, n_short=20, n_long=80):
     """Slope-time fn(q, big, *rest) with BOTH q and `big` (z or proj)
     carried through the scan so nothing operand-sized is hoisted."""
+    def fold(carry, bump):
+        # One-element in-place carry perturbation (~zero harness bytes; the
+        # old full-tensor `carry + sum(out)*1e-12` added ~0.1-0.6 ms/iter
+        # of harness HBM traffic — see BASELINE.md round-3 correction).
+        flat = carry.reshape(-1)
+        flat = jax.lax.dynamic_update_slice(
+            flat, flat[:1] + bump.astype(carry.dtype), (0,))
+        return flat.reshape(carry.shape)
+
     def total_ms(iters):
         @jax.jit
         def chained(q0, big0, *r):
             def step(carry, _):
                 qc, bc = carry
-                o, opt, opair = fn(qc, bc, *r)
-                s = (jnp.sum(o.astype(jnp.float32))
-                     + jnp.sum(opt.astype(jnp.float32))
-                     + jnp.sum(opair.astype(jnp.float32)))
-                return (qc + (s * 1e-12).astype(qc.dtype),
-                        bc + (s * 1e-12).astype(bc.dtype)), ()
+                outs = jax.lax.optimization_barrier(fn(qc, bc, *r))
+                s = sum(o.reshape(-1)[0].astype(jnp.float32)
+                        for o in outs) * 1e-12
+                return (fold(qc, s), fold(bc, s)), ()
             (qf, bf), _ = jax.lax.scan(step, (q0, big0), None, length=iters)
             return (jnp.sum(qf.astype(jnp.float32))
                     + jnp.sum(bf.astype(jnp.float32)))
