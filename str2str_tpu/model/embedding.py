@@ -107,11 +107,21 @@ class EdgeEmbedder(nn.Module):
         if self.seq_axis:
             # Column-sharded edge embedding: slice this device's key shard
             # of every column-side input and build the rectangular block.
-            import jax
             from ..parallel.seq_shard import local_cols
             sc32 = sc_ca.astype(jnp.float32)
             col_l, idx_l, sc_l = local_cols(
                 self.seq_axis, col, residue_idx, sc32)
+            use_pallas = (self.use_pallas == "on"
+                          or (self.use_pallas == "auto"
+                              and _ee.is_supported()))
+            if use_pallas:
+                # Rectangular fused kernel per shard (custom_vjp; backward
+                # differentiates the XLA reference — inference-first).
+                return _ee.edge_embed_cols(
+                    row, col_l, residue_idx, sc32, idx_l, sc_l,
+                    krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                    self.min_bin, self.max_bin, nb, pe, self.max_len,
+                    self_cond)
             return _ee.edge_embed_reference(
                 row, col_l, residue_idx, sc32,
                 krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,

@@ -142,22 +142,22 @@ def _kernel_proj(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
     proj_ref[0] = proj.astype(proj_ref.dtype)
 
 
-def _pick_block(L: int, D: int, itemsize: int):
-    if L < 128:
+def _pick_block(Lr: int, Lc: int, D: int, itemsize: int):
+    if Lc < 128:
         # Sub-tile lane widths hit unsupported Mosaic relayouts (and there
         # is nothing to win at tiny L) -> XLA path.
         return None
     budget = 11 * 1024 * 1024
     for qb in (64, 32, 16, 8):
-        if L % qb:
+        if Lr % qb:
             continue
         # dominant temps: fp32 sinusoid tensors (lane-padded to 128), the
         # fp32 first-layer accumulator, bf16 hiddens, out tile x2.
-        cost = (3 * qb * L * 128 * 4        # args/sin/cos
-                + 2 * qb * L * D * 4        # fp32 matmul accumulators
-                + 3 * qb * L * D * itemsize  # x/h hiddens
-                + 2 * qb * L * D * itemsize  # out tile (double-buffered)
-                + qb * L * 128 * itemsize)   # distogram one-hot
+        cost = (3 * qb * Lc * 128 * 4        # args/sin/cos
+                + 2 * qb * Lc * D * 4        # fp32 matmul accumulators
+                + 3 * qb * Lc * D * itemsize  # x/h hiddens
+                + 2 * qb * Lc * D * itemsize  # out tile (double-buffered)
+                + qb * Lc * 128 * itemsize)   # distogram one-hot
         if cost <= budget:
             return qb
     return None
@@ -168,24 +168,36 @@ def edge_embed_pallas(row_part, col_part, residue_idx, sc_ca,
                       *, min_bin: float, max_bin: float, num_bins: int,
                       init_embed_size: int, max_len: int = 2056,
                       self_conditioning: bool = True, eps: float = 1e-6,
-                      query_block: int | None = None, proj_w=None):
-    """row_part/col_part: (B, L, D) rank-L first-layer contributions;
-    residue_idx: (B, L) int; sc_ca: (B, L, 3) fp32;
+                      query_block: int | None = None, proj_w=None,
+                      residue_idx_col=None, sc_ca_col=None):
+    """row_part: (B, Lr, D), col_part: (B, Lc, D) rank-L first-layer
+    contributions; residue_idx: (B, Lr) int; sc_ca: (B, Lr, 3) fp32;
     krel: (PE, D), kd: (NB, D), k1/k2: (D, D); biases/LN 1-D.
-    Returns the (B, L, L, D) edge embedding in row_part.dtype.
+    Returns the (B, Lr, Lc, D) edge embedding in row_part.dtype.
+
+    residue_idx_col / sc_ca_col: optional column-side inputs for a
+    RECTANGULAR block — the sequence-sharded trunk passes this device's
+    column shard (rows span the full sequence, columns the local shard).
+    Default: same as the row side (square).
 
     proj_w: optional (wcatT (X, D), bcat (X,)) — IPA block 0's fused
     z-projection weights; when given the kernel also emits proj
-    (B, L, X, L) and returns the tuple (z0, proj)."""
-    B, L, D = row_part.shape
+    (B, Lr, X, Lc) and returns the tuple (z0, proj)."""
+    B, Lr, D = row_part.shape
+    Lc = col_part.shape[1]
+    if residue_idx_col is None:
+        residue_idx_col = residue_idx
+    if sc_ca_col is None:
+        sc_ca_col = sc_ca
     dt = row_part.dtype
-    qb = query_block or _pick_block(L, D, jnp.dtype(dt).itemsize)
+    qb = query_block or _pick_block(Lr, Lc, D, jnp.dtype(dt).itemsize)
     if qb is None:
         out = edge_embed_reference(
             row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
             b0, b1, b2, ln_scale, ln_bias, min_bin=min_bin, max_bin=max_bin,
             num_bins=num_bins, init_embed_size=init_embed_size,
-            max_len=max_len, self_conditioning=self_conditioning, eps=eps)
+            max_len=max_len, self_conditioning=self_conditioning, eps=eps,
+            residue_idx_col=residue_idx_col, sc_ca_col=sc_ca_col)
         if proj_w is None:
             return out
         return out, _proj_reference(out, *proj_w)
@@ -202,9 +214,12 @@ def edge_embed_pallas(row_part, col_part, residue_idx, sc_ca,
 
     # Node-sized sinusoid tables; the kernel combines them pairwise via the
     # angle-addition identities.
-    phase = residue_idx.astype(jnp.float32)[..., None] * freq  # (B, L, HPE)
-    sin_p, cos_p = jnp.sin(phase), jnp.cos(phase)
-    scf = sc_ca.astype(jnp.float32)
+    phase_q = residue_idx.astype(jnp.float32)[..., None] * freq  # (B,Lr,HPE)
+    sin_q, cos_q = jnp.sin(phase_q), jnp.cos(phase_q)
+    phase_k = residue_idx_col.astype(jnp.float32)[..., None] * freq
+    sin_k, cos_k = jnp.sin(phase_k), jnp.cos(phase_k)
+    scq = sc_ca.astype(jnp.float32)
+    sck = sc_ca_col.astype(jnp.float32)
 
     PE, NB = krel.shape[0], kd.shape[0]
     vecs = [v.reshape(1, -1).astype(jnp.float32)
@@ -212,13 +227,13 @@ def edge_embed_pallas(row_part, col_part, residue_idx, sc_ca,
 
     in_specs = [
         pl.BlockSpec((1, qb, D), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Lc, D), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((1, qb, half), lambda b, i: (b, i, 0)),
         pl.BlockSpec((1, qb, half), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, L, half), lambda b, i: (b, 0, 0)),
-        pl.BlockSpec((1, L, half), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Lc, half), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Lc, half), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((1, qb, 3), lambda b, i: (b, i, 0)),
-        pl.BlockSpec((1, L, 3), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Lc, 3), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((PE, D), lambda b, i: (0, 0)),
         pl.BlockSpec((NB, D), lambda b, i: (0, 0)),
         pl.BlockSpec((D, D), lambda b, i: (0, 0)),
@@ -231,7 +246,7 @@ def edge_embed_pallas(row_part, col_part, residue_idx, sc_ca,
         pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
         pl.BlockSpec((1, NB), lambda b, i: (0, 0)),
     ]
-    args = [row_part, col_part, sin_p, cos_p, sin_p, cos_p, scf, scf,
+    args = [row_part, col_part, sin_q, cos_q, sin_k, cos_k, scq, sck,
             krel.astype(dt), kd.astype(dt), k1.astype(dt), k2.astype(dt),
             *vecs, lo2, hi2]
 
@@ -241,10 +256,10 @@ def edge_embed_pallas(row_part, col_part, residue_idx, sc_ca,
         return pl.pallas_call(
             kern,
             compiler_params=_cp(32 * 1024 * 1024),
-            grid=(B, L // qb),
+            grid=(B, Lr // qb),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, qb, L, D), lambda b, i: (b, i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, L, L, D), dt),
+            out_specs=pl.BlockSpec((1, qb, Lc, D), lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, Lr, Lc, D), dt),
         )(*args)
 
     wcatT, bcat = proj_w
@@ -259,15 +274,15 @@ def edge_embed_pallas(row_part, col_part, residue_idx, sc_ca,
     return pl.pallas_call(
         kern,
         compiler_params=_cp(32 * 1024 * 1024),
-        grid=(B, L // qb),
+        grid=(B, Lr // qb),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, qb, L, D), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, qb, X, L), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, qb, Lc, D), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, qb, X, Lc), lambda b, i: (b, i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, L, D), dt),
-            jax.ShapeDtypeStruct((B, L, X, L), dt),
+            jax.ShapeDtypeStruct((B, Lr, Lc, D), dt),
+            jax.ShapeDtypeStruct((B, Lr, X, Lc), dt),
         ],
     )(*args)
 
@@ -789,3 +804,57 @@ def edge_embed_proj_reference(row_part, col_part, residue_idx, sc_ca,
         num_bins=num_bins, init_embed_size=init_embed_size, max_len=max_len,
         self_conditioning=self_conditioning, eps=eps)
     return out, _proj_reference(out, wcatT, bcat)
+
+
+# ---- rectangular (column-shard) differentiable entry ------------------------
+# The sequence-sharded trunk embeds this device's (B, Lr, Lc) block: rows
+# span the full sequence, columns the local shard. Forward runs the fused
+# kernel (rectangular block specs); backward differentiates the XLA
+# reference — the sharded path is inference-first, matching
+# ipa_attention._attn_core_partial.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20))
+def edge_embed_cols(row_part, col_part, residue_idx, sc_ca,
+                    residue_idx_col, sc_ca_col,
+                    krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                    min_bin, max_bin, num_bins, init_embed_size, max_len,
+                    self_conditioning):
+    return edge_embed_pallas(
+        row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
+        b0, b1, b2, ln_scale, ln_bias, min_bin=min_bin, max_bin=max_bin,
+        num_bins=num_bins, init_embed_size=init_embed_size, max_len=max_len,
+        self_conditioning=self_conditioning,
+        residue_idx_col=residue_idx_col, sc_ca_col=sc_ca_col)
+
+
+def _eec_fwd(row_part, col_part, residue_idx, sc_ca,
+             residue_idx_col, sc_ca_col,
+             krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+             min_bin, max_bin, num_bins, init_embed_size, max_len,
+             self_conditioning):
+    out = edge_embed_cols(
+        row_part, col_part, residue_idx, sc_ca, residue_idx_col, sc_ca_col,
+        krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+        min_bin, max_bin, num_bins, init_embed_size, max_len,
+        self_conditioning)
+    return out, (row_part, col_part, residue_idx, sc_ca,
+                 residue_idx_col, sc_ca_col,
+                 krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias)
+
+
+def _eec_bwd(min_bin, max_bin, num_bins, init_embed_size, max_len,
+             self_conditioning, saved, ct):
+    def ref(row_part, col_part, residue_idx, sc_ca,
+            residue_idx_col, sc_ca_col, *weights):
+        return edge_embed_reference(
+            row_part, col_part, residue_idx, sc_ca, *weights,
+            min_bin=min_bin, max_bin=max_bin, num_bins=num_bins,
+            init_embed_size=init_embed_size, max_len=max_len,
+            self_conditioning=self_conditioning,
+            residue_idx_col=residue_idx_col, sc_ca_col=sc_ca_col)
+
+    _, vjp = jax.vjp(ref, *saved)
+    return vjp(ct)
+
+
+edge_embed_cols.defvjp(_eec_fwd, _eec_bwd)

@@ -551,3 +551,63 @@ def test_seq_sharded_trunk_kernel_path_matches_xla(rng):
         out_on = run("on")
     np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_edge_embed_kernel_rectangular_matches_reference(rng):
+    """Rectangular (rows != cols) embedder block: the sequence-sharded
+    trunk embeds (B, Lr, Lc) with column-side inputs from the local shard
+    (edge_embed_cols / edge_embed_pallas residue_idx_col, sc_ca_col)."""
+    from str2str_tpu.ops import edge_embed as EE
+
+    B, Lr, Lc, D, NB, ies = 2, 32, 16, 24, 22, 16
+    PE = ies
+
+    def r(*shape, scale=0.3):
+        return jnp.asarray(rng.randn(*shape) * scale, dtype=jnp.float32)
+
+    idx_r = jnp.asarray(np.arange(Lr)[None, :].repeat(B, 0), jnp.int32)
+    idx_c = jnp.asarray((np.arange(Lc) + 7)[None, :].repeat(B, 0), jnp.int32)
+    sc_r, sc_c = r(B, Lr, 3, scale=3.0), r(B, Lc, 3, scale=3.0)
+    row, col = r(B, Lr, D), r(B, Lc, D)
+    weights = (r(PE, D), r(NB, D), r(D, D), r(D, D),
+               r(D, scale=0.1), r(D, scale=0.1), r(D, scale=0.1),
+               jnp.ones(D), jnp.zeros(D))
+    kw = dict(min_bin=1e-5, max_bin=20.0, num_bins=NB,
+              init_embed_size=ies, max_len=2056, self_conditioning=True)
+
+    ref = EE.edge_embed_reference(row, col, idx_r, sc_r, *weights,
+                                  residue_idx_col=idx_c, sc_ca_col=sc_c, **kw)
+    assert ref.shape == (B, Lr, Lc, D)
+    with _interpret_ctx():
+        out = EE.edge_embed_pallas(row, col, idx_r, sc_r, *weights,
+                                   query_block=8, residue_idx_col=idx_c,
+                                   sc_ca_col=sc_c, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # The differentiable wrapper: grads of the rectangular entry match the
+    # reference's autodiff (backward differentiates the reference).
+    w = r(B, Lr, Lc, D)
+
+    def loss_ref(row, col, sc_r, sc_c, k1):
+        o = EE.edge_embed_reference(
+            row, col, idx_r, sc_r, weights[0], weights[1], k1, weights[3],
+            *weights[4:], residue_idx_col=idx_c, sc_ca_col=sc_c, **kw)
+        return jnp.sum(o * w)
+
+    def loss_cols(row, col, sc_r, sc_c, k1):
+        o = EE.edge_embed_cols(
+            row, col, idx_r, sc_r, idx_c, sc_c,
+            weights[0], weights[1], k1, weights[3], *weights[4:],
+            kw["min_bin"], kw["max_bin"], kw["num_bins"],
+            kw["init_embed_size"], kw["max_len"], kw["self_conditioning"])
+        return jnp.sum(o * w)
+
+    argnums = (0, 1, 2, 3, 4)
+    g_ref = jax.grad(loss_ref, argnums)(row, col, sc_r, sc_c, weights[2])
+    with _interpret_ctx():
+        g_k = jax.grad(loss_cols, argnums)(row, col, sc_r, sc_c, weights[2])
+    for i, (a, b) in enumerate(zip(g_ref, g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"grad argnum {i}")
