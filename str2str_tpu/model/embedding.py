@@ -117,18 +117,28 @@ class EdgeEmbedder(nn.Module):
             if use_pallas:
                 # Rectangular fused kernel per shard (custom_vjp; backward
                 # differentiates the XLA reference — inference-first).
+                if proj_w is not None:
+                    return _ee.edge_embed_cols_proj(
+                        row, col_l, residue_idx, sc32, idx_l, sc_l,
+                        krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                        proj_w[0], proj_w[1],
+                        self.min_bin, self.max_bin, nb, pe, self.max_len,
+                        self_cond)
                 return _ee.edge_embed_cols(
                     row, col_l, residue_idx, sc32, idx_l, sc_l,
                     krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
                     self.min_bin, self.max_bin, nb, pe, self.max_len,
                     self_cond)
-            return _ee.edge_embed_reference(
+            out = _ee.edge_embed_reference(
                 row, col_l, residue_idx, sc32,
                 krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
                 min_bin=self.min_bin, max_bin=self.max_bin, num_bins=nb,
                 init_embed_size=pe, max_len=self.max_len,
                 self_conditioning=self_cond,
                 residue_idx_col=idx_l, sc_ca_col=sc_l)
+            if proj_w is not None:
+                return out, _ee._proj_reference(out, *proj_w)
+            return out
 
         use_pallas = (self.use_pallas == "on"
                       or (self.use_pallas == "auto" and _ee.is_supported()))

@@ -176,8 +176,15 @@ class InvariantPointAttention(nn.Module):
                         q_pts.reshape(B, L, H * Pq * 3),
                         k_pts_l.reshape(B, Lk, H * Pq * 3),
                         v_pts_l.reshape(B, Lk, H * Pv * 3))
-                ou, optu, opairu, mloc, sloc = _ia.ipa_attention_partial(
-                    *flat, z, kb, bb, kdz, bdz, head_weights, mask_l)
+                if proj is not None:
+                    # Sharded mega-fusion: the previous block's rectangular
+                    # EdgeTransition kernel emitted this shard's projection.
+                    ou, optu, opairu, mloc, sloc = \
+                        _ia.ipa_attention_partial_with_proj(
+                            *flat, proj, head_weights, mask_l)
+                else:
+                    ou, optu, opairu, mloc, sloc = _ia.ipa_attention_partial(
+                        *flat, z, kb, bb, kdz, bdz, head_weights, mask_l)
                 m_g = lax.pmax(mloc, self.seq_axis)
                 w = jnp.exp(mloc - m_g)                        # (B,H,L,1)
                 denom = lax.psum(sloc * w, self.seq_axis)
@@ -311,7 +318,10 @@ class TranslationIPA(nn.Module):
                   or (self.use_pallas_ipa == "auto" and _ia_ops.is_supported()))
         edge_on = (self.use_pallas == "on"
                    or (self.use_pallas == "auto" and _em_ops.is_supported()))
-        use_mega = ipa_on and edge_on and not self.seq_axis
+        # Mega-fusion also runs under the sequence-sharded trunk: the
+        # rectangular EdgeTransition kernel emits this shard's projection
+        # and the partial-softmax attention consumes it.
+        use_mega = ipa_on and edge_on
         ipas = self.ipas
 
         init_node_embed = node_embed
@@ -357,7 +367,7 @@ class TranslationIPA(nn.Module):
                 # multiply saves a full z read+write per block.
                 et = EdgeTransition(
                     edge_embed_out=self.c_z, dtype=self.dtype,
-                    use_pallas="off" if self.seq_axis else self.use_pallas,
+                    use_pallas=self.use_pallas,
                     seq_axis=self.seq_axis,
                     name=f"edge_transition_{b}")
                 if use_mega:

@@ -100,7 +100,9 @@ class ScoreNetwork(nn.Module):
                   or (cfg.use_pallas_ipa == "auto" and _ia_ops.is_supported()))
         edge_on = (cfg.use_pallas == "on"
                    or (cfg.use_pallas == "auto" and _em_ops.is_supported()))
-        use_mega = ipa_on and edge_on and not cfg.seq_axis
+        # Also active under the sequence-sharded trunk: the rectangular
+        # embedder kernel emits block 0's LOCAL projection per shard.
+        use_mega = ipa_on and edge_on
         proj0_w = translator.ipas[0].proj_weights() if use_mega else None
 
         emb_out = EmbeddingModule(

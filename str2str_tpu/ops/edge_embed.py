@@ -858,3 +858,57 @@ def _eec_bwd(min_bin, max_bin, num_bins, init_embed_size, max_len,
 
 
 edge_embed_cols.defvjp(_eec_fwd, _eec_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20, 21, 22))
+def edge_embed_cols_proj(row_part, col_part, residue_idx, sc_ca,
+                         residue_idx_col, sc_ca_col,
+                         krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                         wcatT, bcat,
+                         min_bin, max_bin, num_bins, init_embed_size,
+                         max_len, self_conditioning):
+    """Rectangular embedder + block-0 proj emission (sharded mega-fusion):
+    returns (z0_local (B, Lr, Lc, D), proj0_local (B, Lr, X, Lc))."""
+    return edge_embed_pallas(
+        row_part, col_part, residue_idx, sc_ca, krel, kd, k1, k2,
+        b0, b1, b2, ln_scale, ln_bias, min_bin=min_bin, max_bin=max_bin,
+        num_bins=num_bins, init_embed_size=init_embed_size, max_len=max_len,
+        self_conditioning=self_conditioning, proj_w=(wcatT, bcat),
+        residue_idx_col=residue_idx_col, sc_ca_col=sc_ca_col)
+
+
+def _eecp_fwd(row_part, col_part, residue_idx, sc_ca,
+              residue_idx_col, sc_ca_col,
+              krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias, wcatT, bcat,
+              min_bin, max_bin, num_bins, init_embed_size, max_len,
+              self_conditioning):
+    out = edge_embed_cols_proj(
+        row_part, col_part, residue_idx, sc_ca, residue_idx_col, sc_ca_col,
+        krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias, wcatT, bcat,
+        min_bin, max_bin, num_bins, init_embed_size, max_len,
+        self_conditioning)
+    return out, (row_part, col_part, residue_idx, sc_ca,
+                 residue_idx_col, sc_ca_col,
+                 krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+                 wcatT, bcat)
+
+
+def _eecp_bwd(min_bin, max_bin, num_bins, init_embed_size, max_len,
+              self_conditioning, saved, cts):
+    def ref(row_part, col_part, residue_idx, sc_ca,
+            residue_idx_col, sc_ca_col, krel, kd, k1, k2,
+            b0, b1, b2, ln_scale, ln_bias, wcatT, bcat):
+        z0 = edge_embed_reference(
+            row_part, col_part, residue_idx, sc_ca,
+            krel, kd, k1, k2, b0, b1, b2, ln_scale, ln_bias,
+            min_bin=min_bin, max_bin=max_bin, num_bins=num_bins,
+            init_embed_size=init_embed_size, max_len=max_len,
+            self_conditioning=self_conditioning,
+            residue_idx_col=residue_idx_col, sc_ca_col=sc_ca_col)
+        return z0, _proj_reference(z0, wcatT, bcat)
+
+    _, vjp = jax.vjp(ref, *saved)
+    return vjp(cts)
+
+
+edge_embed_cols_proj.defvjp(_eecp_fwd, _eecp_bwd)

@@ -622,6 +622,17 @@ def ipa_attention_partial(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
     return _attn_core_partial(qhat, khat, v4, vf4, proj)
 
 
+def ipa_attention_partial_with_proj(q, k, v, q_pts, k_pts, v_pts, proj,
+                                    head_weights, mask, *, inf: float = 1e5):
+    """`ipa_attention_partial` consuming a PRECOMPUTED local fused z
+    projection (B, Qtot, Cdz+H, Lc) — emitted per shard by the previous
+    block's rectangular EdgeTransition kernel (sharded edge-stack
+    mega-fusion; the local z column shard is never read here)."""
+    qhat, khat, v4, vf4 = _prep_qk(q, k, v, q_pts, k_pts, v_pts,
+                                   head_weights, mask, inf)
+    return _attn_core_partial(qhat, khat, v4, vf4, proj)
+
+
 @jax.custom_vjp
 def _attn_core(qhat, khat, v4, vf4, proj):
     B, H, Qtot, D2, L, C, Pv3, Cdz, Pq = _core_shapes(qhat, khat, v4, vf4, proj)
