@@ -213,3 +213,37 @@ def test_seq_sharded_kernel_attention_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(ref[key]) * m, np.asarray(out[key]) * m,
             atol=2e-4, rtol=2e-4, err_msg=key)
+
+
+def test_seq_sharded_chained_sampler_matches_unsharded(rng):
+    """Chained-delta single-program sampling through the sharded trunk ==
+    the unsharded chained run, same key."""
+    from str2str_tpu.sampling.sampler import (Sampler, SamplerConfig,
+                                              build_chained_schedule)
+
+    B, L = 2, 32
+    feats = {k: jnp.asarray(v) for k, v in _batch(rng, B, L).items()}
+    feats["rigidgroups_gt_frames"] = jnp.asarray(_make_frames(rng, B, L))
+
+    diffuser = _diffuser()
+    cfg = SamplerConfig(num_timesteps=10, replica_per_batch=B)
+
+    net = ScoreNetwork(_small_cfg())
+    params = net.init(jax.random.PRNGKey(1), feats)
+    plain = Sampler(net, diffuser, cfg)
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("seq",))
+    snet = ScoreNetwork(_small_cfg(seq_axis="seq"))
+    sharded = Sampler(snet, diffuser, cfg, seq_mesh=mesh)
+
+    sched, n_slots = build_chained_schedule(
+        np.asarray([0.3, 0.5], np.float32), 1, cfg.num_timesteps, cfg.min_t)
+    arrs = tuple(jnp.asarray(sched[k])
+                 for k in ("ts", "dt", "init", "final", "slot", "local"))
+    key = jax.random.PRNGKey(9)
+    out_a = plain.run_chained(params, key, feats, n_slots, *arrs)
+    out_b = sharded.run_chained(params, key, feats, n_slots, *arrs)
+    np.testing.assert_allclose(
+        np.asarray(out_a["atom37"]), np.asarray(out_b["atom37"]),
+        atol=5e-3, err_msg="sharded chained anneal diverged")
