@@ -100,7 +100,9 @@ class InvariantPointAttention(nn.Module):
         B, L, _ = s.shape
         H, C = self.no_heads, self.c_hidden
         Pq, Pv = self.no_qk_points, self.no_v_points
-        c_z = z.shape[-1]
+        # z is None for the LAST block under mega-fusion (the previous
+        # EdgeTransition emitted only proj; its z' was never written).
+        c_z = self.c_z if z is None else z.shape[-1]
 
         # --- scalar q/k/v --------------------------------------------------
         q = linear(H * C, dtype=self.dtype, name="linear_q")(s)
@@ -371,8 +373,13 @@ class TranslationIPA(nn.Module):
                     seq_axis=self.seq_axis,
                     name=f"edge_transition_{b}")
                 if use_mega:
-                    edge_embed, proj = et(node_embed, edge_embed,
-                                          proj_w=ipas[b + 1].proj_weights())
+                    # The LAST transition's z' is dead (the final IPA block
+                    # consumes proj; nothing reads z' afterwards): skip its
+                    # [B, L, L, c_z] HBM write entirely.
+                    edge_embed, proj = et(
+                        node_embed, edge_embed,
+                        proj_w=ipas[b + 1].proj_weights(),
+                        need_out=b < self.no_ipa_blocks - 2)
                 else:
                     edge_embed = et(node_embed, edge_embed)
                     proj = None

@@ -119,11 +119,15 @@ class EdgeTransition(nn.Module):
     seq_axis: str = ""
 
     @nn.compact
-    def __call__(self, node_embed, edge_embed, proj_w=None):
+    def __call__(self, node_embed, edge_embed, proj_w=None,
+                 need_out: bool = True):
         """proj_w: optional (wcatT (X, c_out), bcat (X,)) — the next IPA
         block's fused z-projection weights. When given, returns
         (new_edge_embed, proj) with proj emitted inside the fused kernel
-        while the output tile is in VMEM (edge-stack mega-fusion)."""
+        while the output tile is in VMEM (edge-stack mega-fusion). With
+        need_out=False (the LAST transition, whose z' is dead under
+        mega-fusion) the z' write is skipped and the return is
+        (None, proj)."""
         assert self.num_layers == 2, "decomposed trunk is written for 2 layers"
         c_node = node_embed.shape[-1]
         c_edge = edge_embed.shape[-1]
@@ -171,6 +175,10 @@ class EdgeTransition(nn.Module):
                      k1[:c_edge], k2, kf, kf[:c_edge], b1, b2, bf,
                      ln_scale, ln_bias)
         if proj_w is not None:
+            if not need_out:
+                fn = (_em.edge_mlp_proj_only if use_pallas
+                      else _em.edge_mlp_proj_only_reference)
+                return None, fn(*base_args, proj_w[0], proj_w[1])
             fn = _em.edge_mlp_proj if use_pallas else _em.edge_mlp_proj_reference
             return fn(*base_args, proj_w[0], proj_w[1])
         fn = _em.edge_mlp if use_pallas else _em.edge_mlp_reference

@@ -128,11 +128,37 @@ def _kernel_proj(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     proj_ref[0] = proj.astype(proj_ref.dtype)
 
 
+def _kernel_proj_only(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                      k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                      b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
+                      wcatT_ref, bcat_ref,
+                      proj_ref, *, eps: float):
+    """Mega-fusion tail variant: emit ONLY the next block's fused z
+    projection. Used for the LAST EdgeTransition, whose z' output is dead
+    under mega-fusion (the final IPA block consumes proj, nothing reads
+    z'), so the full [B, L, L, Cout] HBM write is skipped entirely."""
+    o = _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                      k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                      b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref, eps)
+    dt = proj_ref.dtype
+    oc = o.astype(dt)
+    R = oc.shape[0]
+    rows = []
+    for r in range(R):
+        pr = jax.lax.dot_general(
+            wcatT_ref[:].astype(dt), oc[r], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (X, L)
+        rows.append(pr)
+    proj = jnp.stack(rows, axis=0)                     # (R, X, L) f32
+    proj = proj + bcat_ref[0][None, :, None]
+    proj_ref[0] = proj.astype(dt)
+
+
 def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                     b1, b2, bf, ln_scale, ln_bias,
                     eps: float = 1e-6,
                     row_block: int = DEFAULT_ROW_BLOCK,
-                    proj_w=None):
+                    proj_w=None, need_out: bool = True):
     """Fused edge MLP.
 
     z: (B, L, L, Cz); ni1/nj1: (B, L, H); nfi/nfj: (B, L, Cout);
@@ -143,7 +169,9 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     fused z-projection weights. When given, the kernel additionally emits
     proj (B, L, X, L) while the output tile is in VMEM (edge-stack
     mega-fusion: the consumer never reads z' from HBM) and the return value
-    is the tuple (out, proj).
+    is the tuple (out, proj). With need_out=False (valid only with proj_w)
+    the z' HBM write is skipped too and ONLY proj is returned — the
+    configuration of the last EdgeTransition, whose z' is dead.
 
     Rectangular inputs are supported: z may be (B, Lr, Lc, Cz) with
     nj1/nfj holding the Lc column-side node parts — the sequence-sharded
@@ -198,6 +226,15 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
         pl.BlockSpec((1, X), lambda b, i: (0, 0)),
     ]
     args += [wcatT.astype(dt), bcat.reshape(1, -1).astype(jnp.float32)]
+    if not need_out:
+        return pl.pallas_call(
+            functools.partial(_kernel_proj_only, eps=eps),
+            compiler_params=_cp(32 * 1024 * 1024),
+            grid=(B, Lr // rb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, rb, X, Lc), lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, Lr, X, Lc), dt),
+        )(*args)
     return pl.pallas_call(
         functools.partial(_kernel_proj, eps=eps),
         compiler_params=_cp(32 * 1024 * 1024),
@@ -282,7 +319,12 @@ def _bwd_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     xhat = (y - mean) * rstd                             # (R, L, Cout) f32
 
     # ---- LayerNorm backward --------------------------------------------
-    dout = dout_ref[0].astype(jnp.float32)               # (R, L, Cout)
+    if dout_ref is None:
+        # proj-only forward (the last EdgeTransition): out itself is not an
+        # output, so its cotangent is exactly the proj fold-in below.
+        dout = jnp.zeros((R, L, Cout), jnp.float32)
+    else:
+        dout = dout_ref[0].astype(jnp.float32)           # (R, L, Cout)
     if proj_pack is not None:
         # Forward also emitted proj = out @ wcat + bcat: fold its cotangent
         # into the out-cotangent and accumulate the projection-weight grads.
@@ -369,6 +411,17 @@ def _bwd_kernel_proj(*refs, eps: float):
               (wcatT, dprojT, dwcatT, dbcat), eps)
 
 
+def _bwd_kernel_proj_nodout(*refs, eps: float):
+    (z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz, b1, b2, bf, lns, lnb,
+     wcatT, dprojT,
+     dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz, db1, db2, dbf,
+     dls, dlb, dwcatT, dbcat) = refs
+    _bwd_body(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz, b1, b2, bf, lns, lnb,
+              None, dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz,
+              db1, db2, dbf, dls, dlb,
+              (wcatT, dprojT, dwcatT, dbcat), eps)
+
+
 def _pick_bwd_row_block(Lr: int, Lc: int, Cz: int, H: int, Cout: int,
                         itemsize: int):
     """Largest row block whose backward working set fits scoped VMEM.
@@ -397,7 +450,9 @@ def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                         proj_w=None, dproj=None):
     """Hand-written backward. Returns grads for every input of
     `edge_mlp_pallas` (in order); with proj_w/dproj given, additionally
-    (dwcatT, dbcat) appended."""
+    (dwcatT, dbcat) appended. dout may be None (proj-only forward: the
+    last EdgeTransition) — then the dout HBM read is skipped entirely and
+    the out-cotangent is the proj fold-in alone."""
     B, Lr, Lc, Cz = z.shape
     H = k2.shape[0]
     Cout = kfh.shape[1]
@@ -433,13 +488,16 @@ def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
         pl.BlockSpec((1, rb, Cout), lambda b, i: (b, i, 0)),
         pl.BlockSpec((1, Lc, Cout), lambda b, i: (b, 0, 0)),
         *fixed_w,
-        pl.BlockSpec((1, rb, Lc, Cout), lambda b, i: (b, i, 0, 0)),
     ]
-    args = [z, ni1, nj1, nfi, nfj, *weights, *vecs, dout.astype(dt)]
+    args = [z, ni1, nj1, nfi, nfj, *weights, *vecs]
+    if dout is not None:
+        in_specs.append(pl.BlockSpec((1, rb, Lc, Cout),
+                                     lambda b, i: (b, i, 0, 0)))
+        args.append(dout.astype(dt))
     extra_out_specs, extra_out_shapes = [], []
     kern = _bwd_kernel
     if proj_w is not None:
-        kern = _bwd_kernel_proj
+        kern = _bwd_kernel_proj if dout is not None else _bwd_kernel_proj_nodout
         wcatT, _bcat = proj_w
         X = wcatT.shape[0]
         # dproj arrives (B, Lr, X, Lc); the kernel wants the (B, Lr, Lc, X)
@@ -578,6 +636,60 @@ def _edge_mlp_proj_bwd(args, cts):
 
 
 edge_mlp_proj.defvjp(_edge_mlp_proj_fwd, _edge_mlp_proj_bwd)
+
+
+# ---- proj-only variant: the last EdgeTransition -----------------------------
+# Under mega-fusion the final IPA block consumes proj and nothing ever reads
+# the last transition's z', so its forward skips the [B, L, L, Cout] HBM
+# write and its backward skips the matching dead-dout read.
+
+@jax.custom_vjp
+def edge_mlp_proj_only(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                       b1, b2, bf, ln_scale, ln_bias, wcatT, bcat):
+    return edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                           b1, b2, bf, ln_scale, ln_bias,
+                           proj_w=(wcatT, bcat), need_out=False)
+
+
+def _edge_mlp_proj_only_fwd(*args):
+    proj = edge_mlp_pallas(*args[:14], proj_w=(args[14], args[15]),
+                           need_out=False)
+    return proj, args
+
+
+def _edge_mlp_proj_only_bwd(args, dproj):
+    (z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+     b1, b2, bf, ln_scale, ln_bias, wcatT, bcat) = args
+    outs = edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                               b1, b2, bf, ln_scale, ln_bias, None,
+                               proj_w=(wcatT, bcat), dproj=dproj)
+    (dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz,
+     db1, db2, dbf, dls, dlb, dwcatT, dbcat) = outs
+    return (dz.astype(z.dtype),
+            dni1.astype(ni1.dtype), dnj1.astype(nj1.dtype),
+            dnfi.astype(nfi.dtype), dnfj.astype(nfj.dtype),
+            dk1z.astype(k1z.dtype), dk2.astype(k2.dtype),
+            dkfh.astype(kfh.dtype), dkfz.astype(kfz.dtype),
+            db1.reshape(b1.shape).astype(b1.dtype),
+            db2.reshape(b2.shape).astype(b2.dtype),
+            dbf.reshape(bf.shape).astype(bf.dtype),
+            dls.reshape(ln_scale.shape).astype(ln_scale.dtype),
+            dlb.reshape(ln_bias.shape).astype(ln_bias.dtype),
+            dwcatT.astype(wcatT.dtype),
+            dbcat.reshape(bcat.shape).astype(bcat.dtype))
+
+
+edge_mlp_proj_only.defvjp(_edge_mlp_proj_only_fwd, _edge_mlp_proj_only_bwd)
+
+
+def edge_mlp_proj_only_reference(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
+                                 b1, b2, bf, ln_scale, ln_bias, wcatT, bcat,
+                                 eps: float = 1e-6):
+    """XLA oracle for the proj-only variant."""
+    _, proj = edge_mlp_proj_reference(z, ni1, nj1, nfi, nfj, k1z, k2, kfh,
+                                      kfz, b1, b2, bf, ln_scale, ln_bias,
+                                      wcatT, bcat, eps=eps)
+    return proj
 
 
 def edge_mlp_proj_reference(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,

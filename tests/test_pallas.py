@@ -304,6 +304,47 @@ def test_edge_mlp_backward_kernel_matches_oracle_grads(rng):
                                    err_msg=f"grad argnum {i}")
 
 
+def test_edge_mlp_proj_only_matches_oracle(rng):
+    """The proj-only variant (last EdgeTransition: dead z' write skipped)
+    must match the oracle's proj output and grads."""
+    from str2str_tpu.ops import edge_mlp as EM
+
+    B, L, Cz, H, Cout, X = 2, 32, 16, 48, 16, 8
+
+    def r(*shape, scale=0.3):
+        return jnp.asarray(rng.randn(*shape) * scale, dtype=jnp.float32)
+
+    args = (r(B, L, L, Cz), r(B, L, H), r(B, L, H), r(B, L, Cout),
+            r(B, L, Cout), r(Cz, H), r(H, H), r(H, Cout), r(Cz, Cout),
+            r(H, scale=0.1), r(H, scale=0.1), r(Cout, scale=0.1),
+            jnp.ones(Cout) + r(Cout, scale=0.05), r(Cout, scale=0.05),
+            r(X, Cout), r(X, scale=0.1))
+
+    ref = EM.edge_mlp_proj_only_reference(*args)
+    with _interpret_ctx():
+        out = EM.edge_mlp_pallas(*args[:14], proj_w=(args[14], args[15]),
+                                 need_out=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    w = r(B, L, X, L)
+
+    def loss(fn, *a):
+        p = fn(*a)
+        return jnp.sum(p * w + 0.3 * p ** 2)
+
+    argnums = tuple(range(16))
+    g_ref = jax.grad(lambda *a: loss(EM.edge_mlp_proj_only_reference, *a),
+                     argnums)(*args)
+    with _interpret_ctx():
+        g_k = jax.grad(lambda *a: loss(EM.edge_mlp_proj_only, *a),
+                       argnums)(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3,
+                                   err_msg=f"grad argnum {i}")
+
+
 def test_edge_embed_backward_kernel_matches_oracle_grads(rng):
     from str2str_tpu.ops import edge_embed as EE
 
