@@ -121,11 +121,20 @@ class ScoreNetwork(nn.Module):
         else:
             node_embed, edge_embed = emb_out
         node_embed = node_embed * node_mask[..., None]
-        if cfg.seq_axis:
-            from ..parallel.seq_shard import local_cols
-            edge_mask = node_mask[..., None] * local_cols(
-                cfg.seq_axis, node_mask)[..., None, :]
-        edge_embed = edge_embed * edge_mask[..., None]
+        if not use_mega:
+            # Reference masks the edge embedding once after the embedder
+            # (denoising_ipa.py:186). Under mega-fusion the multiply is
+            # dropped: the edge stack is pointwise per edge (masked-edge
+            # values never mix into valid edges), attention kills masked
+            # keys with the -1e5 mask bias, and masked edges receive zero
+            # cotangents — while the standalone [B, L, L, c_z] multiply
+            # costs a full z0 HBM round trip that XLA cannot fuse into
+            # either adjacent Pallas call.
+            if cfg.seq_axis:
+                from ..parallel.seq_shard import local_cols
+                edge_mask = node_mask[..., None] * local_cols(
+                    cfg.seq_axis, node_mask)[..., None, :]
+            edge_embed = edge_embed * edge_mask[..., None]
 
         trunk_out = translator(
             node_embed, edge_embed, batch["rigids_t"].astype(jnp.float32),
