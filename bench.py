@@ -200,7 +200,18 @@ A100_BOUND_NFE_PER_SEC = 350.0
 
 
 def main():
-    nfe_rate = measure_tpu_nfe_rate()
+    try:
+        nfe_rate = measure_tpu_nfe_rate()
+    except Exception as e:  # chip unavailable / backend error: emit an
+        # honest machine-readable line instead of a bare traceback.
+        print(json.dumps({
+            "metric": f"conformations/sec/chip @ L={L} (reference delta-grid protocol)",
+            "value": None,
+            "unit": "conf/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        raise
     conf_per_sec = nfe_rate / NFE_PER_CONF
     base_rate = measure_torch_baseline_nfe_rate()
     vs_cpu = (nfe_rate / base_rate) if base_rate else None
