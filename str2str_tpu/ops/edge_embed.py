@@ -31,19 +31,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:
-    from jax.experimental.pallas import tpu as pltpu
-except Exception:  # pragma: no cover
-    pltpu = None
-
-
-def is_supported() -> bool:
-    if pltpu is None:
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+from ._pallas_util import cp as _cp
+from ._pallas_util import emit_proj as _emit_proj
+from ._pallas_util import is_tpu as is_supported
 
 
 def _kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
@@ -128,18 +118,7 @@ def _kernel_proj(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
             scq_ref, sck_ref, krel_ref, kd_ref, k1_ref, k2_ref,
             b0_ref, b1_ref, b2_ref, ln_s_ref, ln_b_ref, lo2_ref, hi2_ref,
             out_ref, self_cond=self_cond, eps=eps)
-    oc = out_ref[0]                                   # (Qb, L, D) dt
-    dt = oc.dtype
-    Qb = oc.shape[0]
-    rows = []
-    for r in range(Qb):
-        pr = jax.lax.dot_general(
-            wcatT_ref[:].astype(dt), oc[r], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (X, L)
-        rows.append(pr)
-    proj = jnp.stack(rows, axis=0)                    # (Qb, X, L) f32
-    proj = proj + bcat_ref[0][None, :, None]
-    proj_ref[0] = proj.astype(proj_ref.dtype)
+    _emit_proj(out_ref[0], wcatT_ref, bcat_ref, proj_ref)
 
 
 def _pick_block(Lr: int, Lc: int, D: int, itemsize: int):
@@ -354,14 +333,6 @@ def edge_embed_reference(row_part, col_part, residue_idx, sc_ca,
 # gradient-free (integer residue indices; the one-hot distogram is piecewise
 # constant in sc_ca), so the only non-weight grads are the rank-L row/col
 # first-layer contributions.
-
-def _cp(nbytes: int):
-    """Raised scoped-VMEM limit for kernels whose working set exceeds the
-    16 MB compiler default (v5e has 128 MB of physical VMEM)."""
-    if pltpu is None:
-        return None
-    return pltpu.CompilerParams(vmem_limit_bytes=nbytes)
-
 
 def _bwd_body(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
               scq_ref, sck_ref,

@@ -26,31 +26,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # the TPU backend may be absent on CPU-only hosts
-    from jax.experimental.pallas import tpu as pltpu
-except Exception:  # pragma: no cover
-    pltpu = None
+from ._pallas_util import cp as _cp
+from ._pallas_util import emit_proj as _emit_proj
+from ._pallas_util import is_tpu as is_supported
 
 # 16 measured fastest at B=8 L=256 bf16 (1.99 ms vs 2.08 at 8; 32 exceeds
 # the scoped-VMEM limit).
 DEFAULT_ROW_BLOCK = 16
-
-
-def is_supported() -> bool:
-    if pltpu is None:
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
-
-
-def _cp(nbytes: int):
-    """Raised scoped-VMEM limit for kernels whose working set exceeds the
-    16 MB compiler default (v5e has 128 MB of physical VMEM)."""
-    if pltpu is None:
-        return None
-    return pltpu.CompilerParams(vmem_limit_bytes=nbytes)
 
 
 def _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
@@ -113,19 +95,9 @@ def _kernel_proj(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     o = _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
                       k1z_ref, k2_ref, kfh_ref, kfz_ref,
                       b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref, eps)
-    dt = out_ref.dtype
-    oc = o.astype(dt)
+    oc = o.astype(out_ref.dtype)
     out_ref[0] = oc
-    R = oc.shape[0]
-    rows = []
-    for r in range(R):
-        pr = jax.lax.dot_general(
-            wcatT_ref[:].astype(dt), oc[r], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (X, L)
-        rows.append(pr)
-    proj = jnp.stack(rows, axis=0)                     # (R, X, L) f32
-    proj = proj + bcat_ref[0][None, :, None]
-    proj_ref[0] = proj.astype(proj_ref.dtype)
+    _emit_proj(oc, wcatT_ref, bcat_ref, proj_ref)
 
 
 def _kernel_proj_only(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
@@ -140,18 +112,7 @@ def _kernel_proj_only(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     o = _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
                       k1z_ref, k2_ref, kfh_ref, kfz_ref,
                       b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref, eps)
-    dt = proj_ref.dtype
-    oc = o.astype(dt)
-    R = oc.shape[0]
-    rows = []
-    for r in range(R):
-        pr = jax.lax.dot_general(
-            wcatT_ref[:].astype(dt), oc[r], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (X, L)
-        rows.append(pr)
-    proj = jnp.stack(rows, axis=0)                     # (R, X, L) f32
-    proj = proj + bcat_ref[0][None, :, None]
-    proj_ref[0] = proj.astype(dt)
+    _emit_proj(o, wcatT_ref, bcat_ref, proj_ref)
 
 
 def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
@@ -426,22 +387,32 @@ def _pick_bwd_row_block(Lr: int, Lc: int, Cz: int, H: int, Cout: int,
                         itemsize: int):
     """Largest row block whose backward working set fits scoped VMEM.
     Candidates stay multiples of 8 (Mosaic block-shape constraint on the
-    (1, rb, H) node-grad blocks) unless rb == Lr (full-dim blocks)."""
+    (1, rb, H) node-grad blocks) unless rb == Lr (full-dim blocks).
+    Returns None when even the smallest block exceeds the raised scoped
+    limit (the caller then differentiates the XLA reference instead of
+    hard-failing at Mosaic compile — e.g. unsharded L >= 1024)."""
     budget = 13 * 1024 * 1024
+    hard_budget = 56 * 1024 * 1024   # under the 64 MB raised scoped limit
     fixed = ((Lc * H + Lc * Cout) * 4 * 2    # nj1/nfj in + dnj1/dnfj accum
              + (Cz * H + H * H + H * Cout + Cz * Cout) * (itemsize + 4))
+
+    def per(rb):
+        return (2 * rb * Lc * Cz * itemsize      # z block (double-buffered)
+                + 2 * rb * Lc * Cout * itemsize  # dout block
+                + 2 * rb * Lc * Cz * itemsize    # dz out
+                + 2 * rb * Lc * H * itemsize     # h1, h2 (dt)
+                + 6 * rb * Lc * Cout * 4         # y/xhat/dout/g/dy f32
+                + 3 * rb * Lc * H * 4)           # dh1/dh2 f32 (liveness)
+
     for rb in (16, 8):
         if Lr % rb and rb != Lr:
             continue
-        per = (2 * rb * Lc * Cz * itemsize       # z block (double-buffered)
-               + 2 * rb * Lc * Cout * itemsize   # dout block
-               + 2 * rb * Lc * Cz * itemsize     # dz out
-               + 2 * rb * Lc * H * itemsize      # h1, h2 (dt)
-               + 6 * rb * Lc * Cout * 4          # y/xhat/dout/g/dy f32
-               + 3 * rb * Lc * H * 4)            # dh1/dh2 f32 (liveness)
-        if fixed + per <= budget:
+        if fixed + per(rb) <= budget:
             return rb
-    return 8 if Lr % 8 == 0 else Lr
+    rb = 8 if Lr % 8 == 0 else Lr
+    if fixed + per(rb) <= hard_budget:
+        return rb
+    return None
 
 
 def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
@@ -459,6 +430,11 @@ def edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     dt = z.dtype
     rb = row_block or _pick_bwd_row_block(Lr, Lc, Cz, H, Cout,
                                           jnp.dtype(dt).itemsize)
+    if rb is None:
+        # Working set exceeds the raised scoped-VMEM limit even at the
+        # smallest block: signal the caller to differentiate the XLA
+        # reference instead.
+        return None
     rb = min(rb, Lr)
     while Lr % rb:
         rb -= 1
@@ -580,6 +556,11 @@ def _edge_mlp_bwd(args, ct):
      b1, b2, bf, ln_scale, ln_bias) = args
     outs = edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                                b1, b2, bf, ln_scale, ln_bias, ct)
+    if outs is None:
+        # Shapes outside the backward kernel's VMEM envelope:
+        # differentiate the XLA reference instead.
+        _, vjp = jax.vjp(edge_mlp_reference, *args)
+        return vjp(ct)
     (dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz,
      db1, db2, dbf, dls, dlb) = outs
     return (dz.astype(z.dtype),
@@ -619,6 +600,9 @@ def _edge_mlp_proj_bwd(args, cts):
     outs = edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                                b1, b2, bf, ln_scale, ln_bias, dout,
                                proj_w=(wcatT, bcat), dproj=dproj)
+    if outs is None:
+        _, vjp = jax.vjp(edge_mlp_proj_reference, *args)
+        return vjp(cts)
     (dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz,
      db1, db2, dbf, dls, dlb, dwcatT, dbcat) = outs
     return (dz.astype(z.dtype),
@@ -663,6 +647,9 @@ def _edge_mlp_proj_only_bwd(args, dproj):
     outs = edge_mlp_bwd_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                                b1, b2, bf, ln_scale, ln_bias, None,
                                proj_w=(wcatT, bcat), dproj=dproj)
+    if outs is None:
+        _, vjp = jax.vjp(edge_mlp_proj_only_reference, *args)
+        return vjp(dproj)
     (dz, dni1, dnj1, dnfi, dnfj, dk1z, dk2, dkfh, dkfz,
      db1, db2, dbf, dls, dlb, dwcatT, dbcat) = outs
     return (dz.astype(z.dtype),

@@ -64,35 +64,17 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:
-    from jax.experimental.pallas import tpu as pltpu
-except Exception:  # pragma: no cover
-    pltpu = None
+from ._pallas_util import cp as _cp
+from ._pallas_util import is_tpu as is_supported
 
 # Test hook: force a query block size (bypasses the L>=128 VMEM picker so
 # interpreter-mode CPU tests can exercise the real kernels at tiny L).
 _FORCE_QB: int | None = None
 
 
-def is_supported() -> bool:
-    if pltpu is None:
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
-
-
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
-
-def _cp(nbytes: int):
-    """Raised scoped-VMEM limit for kernels whose working set exceeds the
-    16 MB compiler default (v5e has 128 MB of physical VMEM)."""
-    if pltpu is None:
-        return None
-    return pltpu.CompilerParams(vmem_limit_bytes=nbytes)
 
 
 def _fwd_kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
@@ -583,7 +565,9 @@ def _attn_core_partial(qhat, khat, v4, vf4, proj):
     B, H, Qtot, D2, L, C, Pv3, Cdz, Pq = _core_shapes(qhat, khat, v4, vf4, proj)
     qb = _pick_query_block(Qtot, L, H, C, Pq, Pv3 // 3, Cdz,
                            jnp.dtype(v4.dtype).itemsize)
-    if qb is None or not is_supported():
+    # _FORCE_QB overrides the platform gate (interpret-mode tests run the
+    # real partial kernel on CPU); production off-TPU uses the oracle.
+    if qb is None or (_FORCE_QB is None and not is_supported()):
         return _partial_core_reference(qhat, khat, v4, vf4, proj)
     return _partial_core_call(qhat, khat, v4, vf4, proj, qb)
 
@@ -638,7 +622,11 @@ def _attn_core(qhat, khat, v4, vf4, proj):
     B, H, Qtot, D2, L, C, Pv3, Cdz, Pq = _core_shapes(qhat, khat, v4, vf4, proj)
     qb = _pick_query_block(Qtot, L, H, C, Pq, Pv3 // 3, Cdz,
                            jnp.dtype(v4.dtype).itemsize)
-    if qb is None:
+    # Same off-TPU gate as _attn_core_partial: a forced "on" on a CPU/GPU
+    # host falls back to the oracle instead of failing at Mosaic lowering.
+    # The _FORCE_QB test hook overrides the platform gate so interpret-mode
+    # tests exercise the real kernel.
+    if qb is None or (_FORCE_QB is None and not is_supported()):
         return _core_reference(qhat, khat, v4, vf4, proj)
     return _core_fwd_call(qhat, khat, v4, vf4, proj, qb)
 

@@ -44,12 +44,22 @@ def axis_size(axis: str) -> int:
 
 def local_cols(axis: str, *arrays):
     """Slice this device's column shard out of replicated (B, L, ...) node
-    arrays: returns each array[:, j0:j0+Lk] for shard index j0//Lk."""
+    arrays: returns each array[:, j0:j0+Lk] for shard index j0//Lk.
+
+    L must divide evenly by the mesh-axis size — otherwise the trailing
+    L % n columns would silently fall out of every softmax normalizer and
+    output psum (wrong results, no error). Length buckets are padded to a
+    multiple of the mesh size by the caller (sampling/sampler.py)."""
     n = axis_size(axis)
     idx = jax.lax.axis_index(axis)
     outs = []
     for a in arrays:
         L = a.shape[1]
+        if L % n:
+            raise ValueError(
+                f"sequence length {L} is not divisible by the '{axis}' mesh "
+                f"axis size {n}; pad the length bucket to a multiple of the "
+                f"mesh size")
         Lk = L // n
         starts = (jnp.zeros((), jnp.int32), idx.astype(jnp.int32) * Lk) + \
             tuple(jnp.zeros((), jnp.int32) for _ in range(a.ndim - 2))

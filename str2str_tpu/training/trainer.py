@@ -360,10 +360,16 @@ class Trainer:
                     stop_early = True
                     break
             # Leftover partial groups run per-step (avoids compiling a scan
-            # for every residual group size).
+            # for every residual group size). Skipped entirely once the
+            # wall-clock budget has fired: each leftover step is a fresh
+            # dispatch (possibly a new single-step compile), which would
+            # overshoot max_time by minutes.
             for group in pending.values():
                 for b in group:
-                    if 0 < cfg.max_steps <= step:
+                    if stop_early or 0 < cfg.max_steps <= step:
+                        break
+                    if deadline is not None and time.time() >= deadline:
+                        stop_early = True
                         break
                     run_steps([b])
 

@@ -304,6 +304,43 @@ def test_edge_mlp_backward_kernel_matches_oracle_grads(rng):
                                    err_msg=f"grad argnum {i}")
 
 
+def test_edge_mlp_bwd_picker_envelope():
+    """The backward row-block picker must admit the production shapes and
+    return None (-> XLA-VJP fallback) when even rb=8 exceeds the raised
+    scoped-VMEM limit, instead of forcing a Mosaic compile failure."""
+    from str2str_tpu.ops.edge_mlp import _pick_bwd_row_block
+
+    # Headline shape (L=256, c_z=128, hidden 384, bf16): must run the kernel.
+    assert _pick_bwd_row_block(256, 256, 128, 384, 128, 2) is not None
+    assert _pick_bwd_row_block(512, 512, 128, 384, 128, 2) is not None
+    # Unsharded L=1024: rb=8 working set exceeds the limit -> fallback.
+    assert _pick_bwd_row_block(1024, 1024, 128, 384, 128, 2) is None
+
+
+def test_edge_mlp_bwd_vmem_fallback_matches_reference(rng, monkeypatch):
+    """When the backward kernel declines (working set > scoped VMEM), the
+    custom_vjp must differentiate the XLA reference instead of crashing."""
+    from str2str_tpu.ops import edge_mlp as EM
+
+    args = _args(rng)
+    w = jnp.asarray(rng.randn(2, 32, 32, 16) * 0.3, jnp.float32)
+
+    def loss(fn, *a):
+        o = fn(*a)
+        return jnp.sum(o * w + 0.3 * o ** 2)
+
+    argnums = tuple(range(14))
+    g_ref = jax.grad(lambda *a: loss(EM.edge_mlp_reference, *a),
+                     argnums)(*args)
+    monkeypatch.setattr(EM, "edge_mlp_bwd_pallas", lambda *a, **k: None)
+    with _interpret_ctx():
+        g_k = jax.grad(lambda *a: loss(EM.edge_mlp, *a), argnums)(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3,
+                                   err_msg=f"grad argnum {i}")
+
+
 def test_edge_mlp_proj_only_matches_oracle(rng):
     """The proj-only variant (last EdgeTransition: dead z' write skipped)
     must match the oracle's proj output and grads."""

@@ -459,6 +459,45 @@ def test_steps_per_call_scan(rng):
     assert np.isfinite(row["train/loss"])
 
 
+def test_max_time_skips_leftover_groups(tmp_path, rng):
+    """With steps_per_call > 1, the per-step leftover-group loop must honor
+    the max_time deadline: each leftover step is a fresh dispatch (possibly
+    a fresh compile), so running them all after the budget fired would
+    overshoot the wall clock by minutes."""
+    net, base = _tiny_setup()
+    batch = _batch(rng, B=2, L=12)
+    params = _init_params(net, batch)
+    calls = []
+
+    class StubTrainer(Trainer):
+        def compile(self):
+            import time as _t
+
+            def train_steps_scan(p, o, key, b):
+                _t.sleep(0.6)
+                n = next(iter(b.values())).shape[0]
+                calls.append(n)
+                return p, o, {"loss": jnp.ones((n,))}
+
+            def eval_step(p, key, b):
+                return {"loss": jnp.asarray(1.0)}
+
+            self.train_steps_scan = train_steps_scan
+            self.eval_step = eval_step
+
+    t = StubTrainer(net, base.diffuser, LossConfig(),
+                    TrainConfig(lr=5e-4, num_devices=1, seed=0,
+                                max_epochs=10000, steps_per_call=4,
+                                max_time="00:00:00:01"),
+                    log_dir=str(tmp_path / "logs"),
+                    ckpt_dir=str(tmp_path / "ckpt"))
+    # 6 batches: one full K=4 scan (sleeps 0.6 s) + 2 leftovers. The first
+    # leftover may start before the 1 s deadline; the second must not.
+    r = t.fit(params, [batch] * 6, [batch])
+    assert r["stopped_early"]
+    assert len(calls) <= 2, f"leftover loop ignored the deadline: {calls}"
+
+
 def test_max_time_stops_training(tmp_path, rng):
     """trainer.max_time (Lightning "DD:HH:MM:SS" wall budget, reference
     README usage `+trainer.max_time=...`) stops the fit loop gracefully."""
