@@ -63,6 +63,14 @@ def run(cfg) -> str:
     sampler = build_sampler(cfg, net, diffuser)
     n_dev = int(cfg.model.inference.get("num_devices", 1) or 1)
     if n_dev != 1 and len(jax.devices()) > 1:
+        if sampler.seq_mesh is not None:
+            # Same invariant Sampler.__init__ asserts: the sequence mesh
+            # column-shards the trunk over every device, so a data mesh on
+            # top would either clash or silently all-gather the batch.
+            raise ValueError(
+                "model.net.seq_axis (sequence sharding) and "
+                "model.inference.num_devices>1 (data-parallel sampling) "
+                "are mutually exclusive")
         from ..parallel.mesh import make_mesh
         sampler.mesh = make_mesh(n_dev)
         log.info(f"sampling over mesh {sampler.mesh.shape}")
@@ -108,7 +116,11 @@ def run(cfg) -> str:
                  f"({n_conf / dt_s:.2f} conf/s) at L_pad={feats['aatype'].shape[0]}")
 
         # Write per-delta PDBs + merged ensemble (unpadded region only).
-        n_res = prot.num_residues
+        # Use the FEATURIZED length, not the raw protein's: strip_ends /
+        # truncate_length may have shrunk the sequence, and writing
+        # prot.num_residues rows would emit zero-padded garbage residues.
+        mask_rows = np.nonzero(np.asarray(feats["residue_mask"]) > 0)[0]
+        n_res = int(mask_rows[-1]) + 1 if mask_rows.size else 0
         extra = dict(aatype=feats["aatype"][:n_res],
                      residue_index=feats["residue_index"][:n_res],
                      chain_index=feats["chain_index"][:n_res])

@@ -197,7 +197,8 @@ def run_trial(overrides: List[str], metric: str):
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("--n-trials", type=int, default=20)
+    ap.add_argument("--n-trials", type=int, default=None,
+                help="trial budget (default 20; grid sampler defaults to the\n                full cartesian grid)")
     ap.add_argument("--metric", default="val/loss")
     ap.add_argument("--direction", choices=("minimize", "maximize"),
                     default="minimize")
@@ -221,7 +222,8 @@ def main(argv=None):
              / f"{args.from_config}.yaml").read_text())
         args.metric = sc.get("metric", args.metric)
         args.direction = sc.get("direction", args.direction)
-        args.n_trials = int(sc.get("n_trials", args.n_trials))
+        if sc.get("n_trials") is not None:
+            args.n_trials = int(sc["n_trials"])
         args.sampler = sc.get("sampler", args.sampler)
         args.param = (args.param
                       + [f"{k}={v}" for k, v in (sc.get("params") or {}).items()])
@@ -231,11 +233,18 @@ def main(argv=None):
     sign = 1.0 if args.direction == "minimize" else -1.0
     tpe = (TPESampler(space, rng, sign) if args.sampler == "tpe" else None)
     if args.sampler == "grid":
-        trials = grid(space)[: args.n_trials]
+        trials = grid(space)
+        # A grid search means the FULL cartesian grid unless the user set
+        # an explicit budget; silently truncating would report a completed
+        # sweep that never evaluated part of the space.
+        if args.n_trials is not None and len(trials) > args.n_trials:
+            log.warning(f"grid has {len(trials)} points; --n-trials keeps "
+                        f"only the first {args.n_trials}")
+            trials = trials[: args.n_trials]
     elif args.sampler == "tpe":
-        trials = [None] * args.n_trials  # suggested adaptively below
+        trials = [None] * (args.n_trials or 20)  # suggested adaptively below
     else:
-        trials = [sample(space, rng) for _ in range(args.n_trials)]
+        trials = [sample(space, rng) for _ in range(args.n_trials or 20)]
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

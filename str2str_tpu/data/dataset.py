@@ -92,8 +92,17 @@ class ProteinDataset:
     def accession_code(self, idx: int) -> str:
         return Path(self.files[idx]).stem
 
-    @lru_cache(maxsize=100)
     def _load(self, idx: int) -> Protein:
+        # Per-instance LRU (reference dataset.py:254 uses lru_cache(100)):
+        # a class-level @lru_cache on the bound method would key entries by
+        # (self, idx) with a strong reference to self, keeping every
+        # dataset instance (e.g. one per sweep trial) alive for the
+        # process lifetime.
+        if not hasattr(self, "_load_cache"):
+            self._load_cache = lru_cache(maxsize=100)(self._load_uncached)
+        return self._load_cache(idx)
+
+    def _load_uncached(self, idx: int) -> Protein:
         f = Path(self.files[idx])
         if f.suffix == ".pkl":
             with open(f, "rb") as fh:

@@ -90,18 +90,29 @@ def featurize(prot: Protein, cfg: FeaturizeConfig = FeaturizeConfig(),
         "sc_ca_t": np.zeros(seq_mask.shape + (3,), dtype=np.float32),
     }
 
-    # AF2 geometry features (jnp ops; converted back to numpy).
+    # AF2 geometry features (jnp ops; converted back to numpy). Pinned to
+    # the host CPU device: featurization runs inside the data path
+    # (BucketedLoader prefetch threads), and dispatching these tiny
+    # per-example ops onto the accelerator would interleave them with
+    # training/sampling work on the device stream.
+    import contextlib
+    import jax
     import jax.numpy as jnp
 
-    a, p, m = jnp.asarray(aatype), jnp.asarray(pos), jnp.asarray(mask)
-    frames = F.atom37_to_frames(a, p, m)
-    torsions = F.atom37_to_torsion_angles(a, p, m)
-    atom14 = F.make_atom14_positions(a, p, m)
-    pb, pb_mask = F.pseudo_beta(a, p, m)
-    for d in (frames, torsions, atom14):
-        feats.update({k: np.asarray(v) for k, v in d.items()})
-    feats["pseudo_beta"] = np.asarray(pb)
-    feats["pseudo_beta_mask"] = np.asarray(pb_mask)
+    try:
+        cpu_ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # pragma: no cover - host CPU backend absent
+        cpu_ctx = contextlib.nullcontext()
+    with cpu_ctx:
+        a, p, m = jnp.asarray(aatype), jnp.asarray(pos), jnp.asarray(mask)
+        frames = F.atom37_to_frames(a, p, m)
+        torsions = F.atom37_to_torsion_angles(a, p, m)
+        atom14 = F.make_atom14_positions(a, p, m)
+        pb, pb_mask = F.pseudo_beta(a, p, m)
+        for d in (frames, torsions, atom14):
+            feats.update({k: np.asarray(v) for k, v in d.items()})
+        feats["pseudo_beta"] = np.asarray(pb)
+        feats["pseudo_beta_mask"] = np.asarray(pb_mask)
     return feats
 
 

@@ -75,6 +75,11 @@ def process_file(path: str, output_dir: str, pisces: Optional[dict] = None,
     stem = p.name.split(".")[0].lower()
     rows = []
     oligomeric_count = None
+    # PISCES membership depends only on the filename stem: check it BEFORE
+    # the mmCIF parse (the dominant cost) so a culled list that keeps a few
+    # percent of the archive skips >90% of the parsing work.
+    if pisces is not None and stem not in pisces:
+        return rows
     try:
         if ".cif" in p.suffixes or p.suffix == ".cif":
             obj = mmcif.parse_mmcif(p)
@@ -95,8 +100,6 @@ def process_file(path: str, output_dir: str, pisces: Optional[dict] = None,
     # Oligomeric filter (reference preprocess.py:316-327).
     if (max_oligomer is not None and oligomeric_count is not None
             and oligomeric_count > max_oligomer):
-        return rows
-    if pisces is not None and stem not in pisces:
         return rows
 
     for chain_id, prot in chains.items():

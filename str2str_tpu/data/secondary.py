@@ -78,12 +78,14 @@ def assign_secondary_structure(atom37: np.ndarray,
     # antiparallel: HBond(i <- j) and HBond(j <- i)
     far = np.abs(np.arange(L)[:, None] - np.arange(L)[None, :]) >= 3
     anti = hb & hb.T & far
-    # parallel: HBond(j -> O of i-1) and HBond(N of i+1 -> O of j), i.e.
-    # hb[j, i-1] and hb[i+1, j]
+    # parallel, DSSP form 1: HBond(CO i-1 <- NH j) and HBond(CO j <- NH i+1),
+    # i.e. hb[j, i-1] and hb[i+1, j]. Form 2 — HBond(CO j-1 <- NH i) and
+    # HBond(CO i <- NH j+1) — is form 1 with (i, j) swapped, so the
+    # transpose marks the partner residue of every parallel bridge.
     par = np.zeros_like(anti)
     for i in range(1, L - 1):
         par[i] = hb[:, i - 1] & hb[i + 1, :] & far[i]
-    bridge = (anti | par).any(axis=1)
+    bridge = (anti | par | par.T).any(axis=1)
     ss[bridge & (ss != "H")] = "E"
     return ss
 
