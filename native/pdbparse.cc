@@ -281,6 +281,10 @@ int64_t pdb_write(const float* positions,  // (M, L, A, 3)
     int serial = 1;
     char prev_chain = 0;
     const char* name3 = "UNK";
+    // TER carries the LAST residue of the chain being terminated (matches
+    // io/protein.py:_write_model and the reference's _chain_end).
+    const char* prev_name3 = "UNK";
+    int prev_resi = 0;
     for (int64_t i = 0; i < n_res; ++i) {
       int rt = aatype[i];
       name3 = (rt >= 0 && rt < (int)g_res_names.size() - 1)
@@ -288,11 +292,13 @@ int64_t pdb_write(const float* positions,  // (M, L, A, 3)
       char cid = kChainIds[chain_index[i] % kMaxChains];
       if (prev_chain != 0 && cid != prev_chain) {
         if (w > cap) return -1;
-        w += std::snprintf(w, 40, "TER   %5d      %s %c\n", serial,
-                           name3, prev_chain);
+        w += std::snprintf(w, 48, "TER   %5d      %s %c%4d\n", serial,
+                           prev_name3, prev_chain, prev_resi);
         ++serial;
       }
       prev_chain = cid;
+      prev_name3 = name3;
+      prev_resi = res_index[i];
       const float* pos_row = positions + ((m * n_res + i) * n_atoms) * 3;
       const float* mask_row = mask + i * n_atoms;
       const float* b_row = bfactors + i * n_atoms;
@@ -316,8 +322,8 @@ int64_t pdb_write(const float* positions,  // (M, L, A, 3)
       }
     }
     if (w > cap) return -1;
-    w += std::snprintf(w, 40, "TER   %5d      %s %c\n", serial, name3,
-                       prev_chain);
+    w += std::snprintf(w, 48, "TER   %5d      %s %c%4d\n", serial,
+                       prev_name3, prev_chain, prev_resi);
     if (multi) w += std::snprintf(w, 16, "ENDMDL\n");
   }
   w += std::snprintf(w, 8, "END\n");

@@ -160,15 +160,21 @@ def to_pdb(proteins: Protein | List[Protein]) -> str:
 def _write_model(out, prot: Protein, serial: int) -> int:
     aatype = np.asarray(prot.aatype)
     prev_chain = None
+    prev_name3, prev_resi = "UNK", 0
     for i in range(aatype.shape[0]):
         restype = int(aatype[i])
         name3 = (ch.restype_1to3[ch.restypes[restype]]
                  if restype < ch.restype_num else "UNK")
         cid = PDB_CHAIN_IDS[int(prot.chain_index[i]) % PDB_MAX_CHAINS]
         if prev_chain is not None and cid != prev_chain:
-            out.write(f"TER   {serial:5d}      {name3} {prev_chain}\n")
+            # TER carries the LAST residue of the chain being terminated
+            # (reference protein.py:147 _chain_end), not the next chain's
+            # first residue.
+            out.write(f"TER   {serial:5d}      {prev_name3} {prev_chain}"
+                      f"{prev_resi:4d}\n")
             serial += 1
         prev_chain = cid
+        prev_name3, prev_resi = name3, int(prot.residue_index[i])
         for j in range(ch.atom_type_num):
             if prot.atom_mask[i, j] < 0.5:
                 continue
@@ -184,9 +190,8 @@ def _write_model(out, prot: Protein, serial: int) -> int:
                 f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{b:6.2f}"
                 f"          {element:>2}\n")
             serial += 1
-    out.write(f"TER   {serial:5d}      "
-              f"{ch.restype_1to3.get(ch.restypes[int(aatype[-1])], 'UNK') if int(aatype[-1]) < ch.restype_num else 'UNK'}"
-              f" {prev_chain}\n")
+    out.write(f"TER   {serial:5d}      {prev_name3} {prev_chain}"
+              f"{prev_resi:4d}\n")
     return serial + 1
 
 

@@ -128,10 +128,17 @@ def between_residue_bond_loss(pred_atom_pos: jnp.ndarray,
     len_err = jnp.abs(c_n - gt_len)
     len_viol = (len_err > tolerance_factor * gt_std).astype(jnp.float32)
 
-    # bond angles via unit vectors
-    ca_c = (this_c - this_ca) / jnp.linalg.norm(this_c - this_ca + eps, axis=-1, keepdims=True)
+    # Bond angles via unit vectors. c_ca points C->CA (reference
+    # loss.py:803): the CA-C-N angle's cosine constant (-0.4473 at the
+    # ideal 116.2 deg) is defined for vectors FROM the vertex atom C.
+    # eps regularizes the squared norm (a guard added to the components
+    # would bias every unit vector instead).
+    def unit(v):
+        return v / jnp.sqrt(eps + jnp.sum(v ** 2, axis=-1, keepdims=True))
+
+    ca_c = unit(this_ca - this_c)
     cn = (next_n - this_c) / c_n[..., None]
-    n_ca = (next_ca - next_n) / jnp.linalg.norm(next_ca - next_n + eps, axis=-1, keepdims=True)
+    n_ca = unit(next_ca - next_n)
 
     cos_ca_c_n = jnp.sum(ca_c * cn, -1)
     cos_c_n_ca = jnp.sum(-cn * n_ca, -1)

@@ -254,7 +254,20 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _log_csv(self, row: Dict[str, Any]):
-        self.loggers.log_metrics(row)
+        if self._is_main():
+            self.loggers.log_metrics(row)
+
+    @staticmethod
+    def _is_main() -> bool:
+        """Host-side writes (checkpoints, CSV rows) happen on process 0
+        only: state is replicated, and concurrent writes to a shared
+        directory from every host race orbax's tmp-dir renames and
+        interleave CSV rows (reference logs rank-zero-only)."""
+        import jax as _jax
+        try:
+            return _jax.process_index() == 0
+        except Exception:
+            return True
 
     def _sched_template(self) -> Dict[str, Any]:
         return {"lr": np.float64(self.cfg.lr), "plateau_wait": np.int64(0),
@@ -316,7 +329,11 @@ class Trainer:
             def run_steps(host_batches):
                 nonlocal params, opt_state, step, key
                 key, k_step = jax.random.split(key)
-                if cfg.profile_dir and step == 2 and not profiling[0]:
+                # step >= 2: with steps_per_call=K the counter only
+                # visits multiples of K, so an equality test would
+                # never fire for K >= 3 and the trace silently stayed
+                # empty.
+                if cfg.profile_dir and step >= 2 and not profiling[0]:
                     jax.profiler.start_trace(cfg.profile_dir)
                     profiling[0] = True
                 if len(host_batches) == 1:
@@ -394,7 +411,7 @@ class Trainer:
                 improved = val_loss < best_val - 1e-12
                 if improved:
                     best_val, plateau_wait, es_wait = val_loss, 0, 0
-                    if cfg.save_best:
+                    if cfg.save_best and self._is_main():
                         # Best-model checkpoint (reference ModelCheckpoint
                         # monitoring val/loss, callbacks/default.yaml:8-15).
                         ckpt_lib.save_checkpoint(
@@ -417,7 +434,9 @@ class Trainer:
             self._log_csv(row)
             history.append(row)
 
-            if (epoch + 1) % cfg.ckpt_every_n_epochs == 0 or stop_early:
+            budget_hit = 0 < cfg.max_steps <= step
+            if ((epoch + 1) % cfg.ckpt_every_n_epochs == 0 or stop_early
+                    or budget_hit) and self._is_main():
                 sched = {"lr": np.float64(lr),
                          "plateau_wait": np.int64(plateau_wait),
                          "best_val": np.float64(best_val),

@@ -479,10 +479,18 @@ def test_max_time_skips_leftover_groups(tmp_path, rng):
                 calls.append(n)
                 return p, o, {"loss": jnp.ones((n,))}
 
+            def train_step(p, o, key, b):
+                # Leftover groups run one batch per dispatch through this
+                # path.
+                _t.sleep(0.6)
+                calls.append(1)
+                return p, o, {"loss": jnp.asarray(1.0)}
+
             def eval_step(p, key, b):
                 return {"loss": jnp.asarray(1.0)}
 
             self.train_steps_scan = train_steps_scan
+            self.train_step = train_step
             self.eval_step = eval_step
 
     t = StubTrainer(net, base.diffuser, LossConfig(),
