@@ -76,7 +76,6 @@ class ScoreNetwork(nn.Module):
 
         node_mask = batch["residue_mask"].astype(jnp.float32)
         fixed_mask = batch["fixed_mask"].astype(jnp.float32)
-        edge_mask = node_mask[..., None] * node_mask[..., None, :]
 
         translator = TranslationIPA(
             c_s=cfg.node_embed_size, c_z=cfg.edge_embed_size,
@@ -134,6 +133,8 @@ class ScoreNetwork(nn.Module):
                 from ..parallel.seq_shard import local_cols
                 edge_mask = node_mask[..., None] * local_cols(
                     cfg.seq_axis, node_mask)[..., None, :]
+            else:
+                edge_mask = node_mask[..., None] * node_mask[..., None, :]
             edge_embed = edge_embed * edge_mask[..., None]
 
         trunk_out = translator(
