@@ -47,6 +47,8 @@ DELTAS = np.around(np.arange(0.25, 0.70 + 1e-5, 0.05), 2)
 NFE_PER_CONF = (sum(int(1000 * d) for d in DELTAS) + 2 * len(DELTAS)) / len(DELTAS)
 
 BASELINE_FILE = REPO / "BASELINE_MEASURED.json"
+LAST_GOOD_FILE = REPO / "BENCH_LAST.json"  # committed record of the most
+# recent successful run, surfaced as `last_measured` when the chip is down
 
 
 def synthetic_protein_object(n: int, seed: int = 0):
@@ -204,17 +206,33 @@ def main():
         nfe_rate = measure_tpu_nfe_rate()
     except Exception as e:  # chip unavailable / backend error: emit an
         # honest machine-readable line instead of a bare traceback.
+        last = None
+        try:
+            last = json.loads(LAST_GOOD_FILE.read_text())
+        except Exception:
+            pass
         print(json.dumps({
             "metric": f"conformations/sec/chip @ L={L} (reference delta-grid protocol)",
             "value": None,
             "unit": "conf/s",
             "vs_baseline": None,
             "error": f"{type(e).__name__}: {e}"[:300],
+            # most recent successful measurement of THIS metric (committed
+            # record), for context when the chip grant is down
+            "last_measured": last,
         }))
         raise
     conf_per_sec = nfe_rate / NFE_PER_CONF
     base_rate = measure_torch_baseline_nfe_rate()
     vs_cpu = (nfe_rate / base_rate) if base_rate else None
+    try:
+        LAST_GOOD_FILE.write_text(json.dumps({
+            "value": round(conf_per_sec, 4), "unit": "conf/s",
+            "nfe_per_sec": round(nfe_rate, 1),
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }, indent=1) + "\n")
+    except OSError:
+        pass
     print(json.dumps({
         "metric": f"conformations/sec/chip @ L={L} (reference delta-grid protocol)",
         "value": round(conf_per_sec, 4),
