@@ -88,6 +88,7 @@ def main(argv=None):
             steps_per_call=tr.get("steps_per_call", 1),
             early_stopping_patience=tr.get("early_stopping_patience", -1),
             save_best=tr.get("save_best", True),
+            seq_devices=int(tr.get("seq_devices", 1) or 1),
             detect_anomaly=tr.get("detect_anomaly", False),
             profile_dir=(str(cfg.paths.log_dir) + "/profile") if tr.get("profile") else ""),
         log_dir=str(cfg.paths.log_dir),

@@ -187,7 +187,12 @@ class InvariantPointAttention(nn.Module):
                 else:
                     ou, optu, opairu, mloc, sloc = _ia.ipa_attention_partial(
                         *flat, z, kb, bb, kdz, bdz, head_weights, mask_l)
-                m_g = lax.pmax(mloc, self.seq_axis)
+                # The softmax is shift-invariant in the max, so its gradient
+                # contribution is exactly zero — stop_gradient makes that
+                # explicit for AD. It must sit INSIDE the pmax: pmax has no
+                # differentiation rule, and linearization reaches it before
+                # an outer stop_gradient could discard the tangent.
+                m_g = lax.pmax(lax.stop_gradient(mloc), self.seq_axis)
                 w = jnp.exp(mloc - m_g)                        # (B,H,L,1)
                 denom = lax.psum(sloc * w, self.seq_axis)
                 o4 = lax.psum(ou * w, self.seq_axis) / denom
@@ -221,8 +226,13 @@ class InvariantPointAttention(nn.Module):
                                           * mask_l[:, None, None, :] - 1.0)
                 a = (a + square_mask).astype(jnp.float32)
                 if self.seq_axis:
-                    amax = lax.pmax(jnp.max(a, axis=-1, keepdims=True),
-                                    self.seq_axis)
+                    # stop_gradient INSIDE the pmax: exact (softmax is
+                    # shift-invariant in the max) and required — pmax has no
+                    # differentiation rule, and linearization reaches it
+                    # before an outer stop_gradient would.
+                    amax = lax.pmax(
+                        lax.stop_gradient(jnp.max(a, axis=-1, keepdims=True)),
+                        self.seq_axis)
                     e = jnp.exp(a - amax)
                     denom = lax.psum(jnp.sum(e, axis=-1, keepdims=True),
                                      self.seq_axis)

@@ -71,6 +71,28 @@ def make_mesh(num_devices: int = -1, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_2d(seq_devices: int, num_devices: int = -1,
+                 devices=None) -> Mesh:
+    """2-D (data, seq) mesh for sequence-sharded TRAINING: the batch is
+    sharded over the major 'data' axis and the score network's O(L^2) edge
+    tensors are column-sharded over the minor 'seq' axis inside shard_map
+    (parallel/seq_shard.py). 'seq' is the minor axis so each sequence
+    group's per-block softmax/output collectives ride adjacent-device ICI
+    links. The reference has no analogue (its trunk is single-device,
+    L <= 500, SURVEY §2.8/§5.7)."""
+    from .seq_shard import SEQ_AXIS
+    devices = devices if devices is not None else jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if seq_devices < 1 or n % seq_devices:
+        raise ValueError(
+            f"{n} devices cannot form a (data, seq={seq_devices}) mesh; "
+            f"seq_devices must divide the device count")
+    arr = np.asarray(devices).reshape(n // seq_devices, seq_devices)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data mesh axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -78,6 +78,14 @@ class TrainConfig:
     # stacked and scanned on-device (lax.scan), amortizing the per-call
     # pytree marshalling / dispatch latency. 1 = classic per-step loop.
     steps_per_call: int = 1
+    # Sequence-shard axis size for 2-D (data, seq) mesh TRAINING: >1 runs
+    # the score network inside shard_map with its O(L^2) edge tensors
+    # column-sharded over `seq_devices` devices per data shard
+    # (parallel/seq_shard.py) — training memory O(L^2)/seq_devices, so
+    # chains far beyond the reference's 500-residue cap
+    # (configs/data/protein.yaml:10-11) fit. Bucket lengths must divide by
+    # seq_devices; the device count must divide by it too.
+    seq_devices: int = 1
     detect_anomaly: bool = False
     profile_dir: str = ""
     self_conditioning_prob: float = 0.5
@@ -125,18 +133,28 @@ class Trainer:
         # The fused Pallas kernels are custom_vjps (XLA-oracle backward) and
         # CAN train, but the oracle-recompute backward makes that a net
         # slowdown (see TrainConfig.use_fused_kernels); default to XLA.
+        from dataclasses import replace as _dc_replace
+        from ..model.network import ScoreNetwork as _SN
         if not cfg.use_fused_kernels:
-            from dataclasses import replace as _dc_replace
-            from ..model.network import ScoreNetwork as _SN
             if isinstance(net, _SN) and (net.cfg.use_pallas != "off"
                                          or net.cfg.use_pallas_ipa != "off"):
                 net = _SN(_dc_replace(net.cfg, use_pallas="off",
                                       use_pallas_ipa="off"))
+        if cfg.seq_devices > 1:
+            # 2-D (data, seq) mesh: auto-enable the network's
+            # sequence-sharded mode (same trunk the long-context sampler
+            # uses, parallel/seq_shard.py) and run it inside shard_map.
+            from ..parallel.seq_shard import SEQ_AXIS
+            if isinstance(net, _SN) and net.cfg.seq_axis != SEQ_AXIS:
+                net = _SN(_dc_replace(net.cfg, seq_axis=SEQ_AXIS))
+            self.mesh = mesh_lib.make_mesh_2d(cfg.seq_devices,
+                                              cfg.num_devices)
+        else:
+            self.mesh = mesh_lib.make_mesh(cfg.num_devices)
         self.net = net
         self.diffuser = diffuser
         self.loss_cfg = loss_cfg
         self.cfg = cfg
-        self.mesh = mesh_lib.make_mesh(cfg.num_devices)
         self.optimizer = make_optimizer(cfg)
         self.log_dir = Path(log_dir)
         self.ckpt_dir = Path(ckpt_dir)
@@ -149,6 +167,37 @@ class Trainer:
         self._compiled = {}
 
     # ------------------------------------------------------------------
+    def _net_apply(self, params, net_batch, deterministic: bool, drop_key):
+        """One score-network forward. With `seq_devices > 1` the apply runs
+        inside shard_map over the 2-D (data, seq) mesh: batch rows sharded
+        over 'data', edge tensors column-sharded over 'seq' inside the net
+        (node-level tensors replicated over 'seq', exactly the long-context
+        sampler's layout). shard_map is differentiable, so the same seam
+        serves the gradient path."""
+        if self.cfg.seq_devices <= 1:
+            rngs = None if drop_key is None else {"dropout": drop_key}
+            return self.net.apply(params, net_batch,
+                                  deterministic=deterministic, rngs=rngs)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        if drop_key is None:  # unused under deterministic=True
+            drop_key = jax.random.PRNGKey(0)
+
+        def inner(p, nb_l, key):
+            # Independent dropout per DATA shard; the key must stay common
+            # across 'seq' members so the replicated node-path compute (and
+            # its dropout masks) agree shard-to-shard.
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(mesh_lib.DATA_AXIS))
+            return self.net.apply(p, nb_l, deterministic=deterministic,
+                                  rngs={"dropout": key})
+
+        return shard_map(
+            inner, mesh=self.mesh,
+            in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
+            out_specs=P(mesh_lib.DATA_AXIS),
+            check_rep=False)(params, net_batch, drop_key)
+
     def model_step(self, params, key, batch, deterministic: bool):
         """Time sampling + forward perturbation + net + rescoring + loss.
         (reference model_step, diffusion_module.py:104-151)."""
@@ -181,15 +230,14 @@ class Trainer:
         # diffusion_module.py:133), extra forward without gradients.
         if self.net.cfg.self_conditioning and cfg.self_conditioning_prob > 0:
             def sc_fn(nb):
-                out = self.net.apply(params, nb, deterministic=True)
+                out = self._net_apply(params, nb, True, None)
                 return jax.lax.stop_gradient(out["trans"])
 
             coin = jax.random.bernoulli(k_sc_coin, cfg.self_conditioning_prob)
             net_batch["sc_ca_t"] = jax.lax.cond(
                 coin, sc_fn, lambda nb: jnp.zeros_like(state_t.trans), net_batch)
 
-        out = self.net.apply(params, net_batch, deterministic=deterministic,
-                             rngs={"dropout": k_drop})
+        out = self._net_apply(params, net_batch, deterministic, k_drop)
 
         pred_state = FrameState(out["quat"], out["trans"])
         pred_scores = self.diffuser.score(

@@ -123,6 +123,38 @@ def test_multi_device_step_matches_single(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_seq_sharded_train_step_matches_single(rng):
+    """2-D (data, seq) mesh training: one train step with the score network
+    running sequence-sharded inside shard_map (TrainConfig.seq_devices)
+    must produce the same loss and parameter update as the unsharded
+    single-device step — gradient correctness THROUGH shard_map (psum
+    attention combines, column-sliced edge tensors, replicated node path)."""
+    n_dev = len(jax.devices())
+    if n_dev < 4:
+        pytest.skip("needs >= 4 devices")
+    batch = _batch(rng, B=8, L=16)
+    net, trainer1 = _tiny_setup(num_devices=1)
+    diffuser = trainer1.diffuser
+    trainer2d = Trainer(net, diffuser, LossConfig(),
+                        TrainConfig(lr=5e-4, num_devices=n_dev, seed=0,
+                                    seq_devices=4))
+    trainer2d.compile()
+    assert trainer2d.mesh.shape == {"data": n_dev // 4, "seq": 4}
+    params = _init_params(net, batch)
+    params1 = jax.tree.map(jnp.array, params)
+    params2 = jax.tree.map(jnp.array, params)
+    opt1 = trainer1.optimizer.init(params1)
+    opt2 = trainer2d.optimizer.init(params2)
+    key = jax.random.PRNGKey(3)
+    p1, _, m1 = trainer1.train_step(params1, opt1, key,
+                                    mesh_lib.shard_batch(batch, trainer1.mesh))
+    p2, _, m2 = trainer2d.train_step(params2, opt2, key,
+                                     mesh_lib.shard_batch(batch, trainer2d.mesh))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_lr_plateau_setter():
     net, trainer = _tiny_setup()
     rng = np.random.RandomState(0)
