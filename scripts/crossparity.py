@@ -1,0 +1,363 @@
+#!/usr/bin/env python
+"""Cross-FRAMEWORK distributional parity: reference torch pipeline vs this
+framework, SAME weights, same protocol, independent RNG.
+
+The quality north star ("JS within 5% of the reference pipeline",
+BASELINE.json) cannot be measured against MD data in this environment
+(trajectories + deeptime absent), but the reference *system* itself runs on
+this host: this harness converts one set of trained weights in both
+directions (utils/torch_convert.py), drives
+
+  * the reference `predict_step` semantics (diffusion_module.py:214-369) on
+    host torch — reference net (denoising_ipa.py), reference FrameDiffuser
+    (frame.py/so3.py/r3.py), reference compute_backbone (all_atom.py), the
+    exact forward-perturb/reverse-anneal loop re-typed line-for-line; and
+  * this framework's Sampler on the default device (TPU),
+
+each producing an ensemble over the full delta grid, then compares
+JS(PwD/Rg/TICA) between the two ensembles through evaluation/metrics.py.
+The verdict bar: cross-framework JS at/below the same-protocol seed-to-seed
+floor of THIS framework (two jax seeds, measured here too).
+
+Phases are cached as .npy under --out so the slow torch phase can run in the
+background and be resumed:
+
+  python scripts/crossparity.py --phase jax      # TPU ensembles, 2 seeds
+  python scripts/crossparity.py --phase torch    # reference ensemble (CPU)
+  python scripts/crossparity.py --phase metrics  # JS table + JSON
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+REFERENCE = Path("/root/reference")
+sys.path.insert(0, str(REPO))
+
+
+# ---------------------------------------------------------------------------
+# Reference-module loading (tests/conftest.py pattern, without importing the
+# test conftest — that would force jax onto CPU for the jax phase).
+
+def load_reference_module(relpath: str, name: str):
+    import importlib
+    import importlib.util
+    from unittest.mock import MagicMock
+
+    path = REFERENCE / relpath
+    if not path.exists():
+        raise FileNotFoundError(path)
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    for stub in ("hydra", "hydra.utils", "hydra.core", "hydra.core.hydra_config",
+                 "omegaconf", "lightning", "lightning.pytorch",
+                 "lightning.pytorch.loggers", "lightning_utilities",
+                 "lightning_utilities.core", "lightning_utilities.core.rank_zero",
+                 "rootutils", "deeptime", "deeptime.decomposition",
+                 "torchmetrics"):
+        if stub not in sys.modules:
+            try:
+                importlib.import_module(stub)
+            except ImportError:
+                sys.modules[stub] = MagicMock(name=stub)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def featurize_target(target: str):
+    """Featurize ONE input PDB with this framework's (parity-tested)
+    pipeline, unpadded — both sides consume the identical feature dict."""
+    from str2str_tpu.data.featurize import FeaturizeConfig, featurize
+    from str2str_tpu.io import protein as prot_io
+
+    prot = prot_io.from_pdb_string(Path(target).read_text())
+    feats = featurize(prot, FeaturizeConfig(strip_missing_residues=False,
+                                            recenter_and_scale=False))
+    return {k: np.asarray(v) for k, v in feats.items()
+            if isinstance(v, np.ndarray)}
+
+
+def delta_grid(args) -> np.ndarray:
+    return np.around(np.arange(args.delta_min, args.delta_max + 1e-5,
+                               args.delta_step), decimals=2)
+
+
+# ---------------------------------------------------------------------------
+# Phase: this framework (default device = TPU when available)
+
+def run_jax(args, out_dir: Path):
+    from str2str_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup()
+    import jax
+
+    from str2str_tpu.cli.sample import example_net_batch
+    from str2str_tpu.config.core import load_config
+    from str2str_tpu.data.featurize import FeaturizeConfig, featurize_padded, pick_bucket
+    from str2str_tpu.factory import build_diffuser, build_network, build_sampler, load_params
+    from str2str_tpu.io import protein as prot_io
+
+    cfg = load_config("eval", [
+        f"ckpt_path={args.ckpt}",
+        f"model.net.dtype={args.dtype}",
+        f"model.inference.num_timesteps={args.num_timesteps}",
+        f"model.inference.replica_per_batch={args.replica_per_batch}",
+        f"model.inference.delta_min={args.delta_min}",
+        f"model.inference.delta_max={args.delta_max}",
+        f"model.inference.delta_step={args.delta_step}",
+    ])
+    net = build_network(cfg)
+    diffuser = build_diffuser(cfg)
+    sampler = build_sampler(cfg, net, diffuser)
+
+    prot = prot_io.from_pdb_string(Path(args.target).read_text())
+    feats = featurize_padded(
+        prot, FeaturizeConfig(strip_missing_residues=False,
+                              recenter_and_scale=False),
+        bucket=pick_bucket(prot.num_residues, (64, 128, 256, 384, 512)))
+    params = load_params(cfg, net, example_net_batch(feats))
+    n_res = prot.num_residues
+
+    for seed in args.seeds:
+        path = out_dir / f"jax_seed{seed}.npy"
+        if path.exists() and not args.force:
+            print(f"[jax] {path} exists, skipping")
+            continue
+        t0 = time.time()
+        ens = sampler.sample_ensemble_chained(
+            params, jax.random.PRNGKey(seed), feats,
+            n_replica=args.n_replica)
+        atom37 = np.concatenate([v for _, v in sorted(ens.items())], axis=0)
+        np.save(path, atom37[:, :n_res].astype(np.float32))
+        print(f"[jax] seed {seed}: {atom37.shape[0]} conformations "
+              f"in {time.time() - t0:.1f}s -> {path}")
+
+
+# ---------------------------------------------------------------------------
+# Phase: reference torch pipeline (host CPU)
+
+def run_torch(args, out_dir: Path):
+    import torch
+
+    path = out_dir / "torch_ref.npy"
+    if path.exists() and not args.force:
+        print(f"[torch] {path} exists, skipping")
+        return
+
+    den_mod = load_reference_module("src/models/net/denoising_ipa.py", "xp_den")
+    ipa_mod = load_reference_module("src/models/net/ipa.py", "xp_ipa")
+    frame_mod = load_reference_module("src/models/score/frame.py", "xp_frame")
+    so3_mod = load_reference_module("src/models/score/so3.py", "xp_so3")
+    r3_mod = load_reference_module("src/models/score/r3.py", "xp_r3")
+    all_atom = load_reference_module("src/common/all_atom.py", "xp_all_atom")
+    rigid_utils = load_reference_module("src/common/rigid_utils.py", "xp_rigid")
+    Rigid = rigid_utils.Rigid
+
+    # Reference net at the published architecture defaults
+    # (configs/model/diffusion.yaml:16-40).
+    torch.manual_seed(0)
+    ref_net = den_mod.DenoisingNet(
+        den_mod.EmbeddingModule(
+            init_embed_size=32, node_embed_size=256, edge_embed_size=128,
+            num_bins=22, min_bin=1e-5, max_bin=20.0, self_conditioning=True),
+        ipa_mod.TranslationIPA(
+            c_s=256, c_z=128, coordinate_scaling=0.1, no_ipa_blocks=4,
+            skip_embed_size=64, transformer_num_heads=4,
+            transformer_num_layers=2, c_hidden=256, no_heads=8,
+            no_qk_points=8, no_v_points=12)).eval()
+
+    # TPU-trained weights -> torch state_dict (exact bijective mapping).
+    from str2str_tpu.utils.checkpoints import load_params_npz
+    from str2str_tpu.utils.torch_convert import flax_to_torch_state_dict
+    params = load_params_npz(args.ckpt, cast=np.float32)
+    sd = flax_to_torch_state_dict(
+        params, {k: v.numpy() for k, v in ref_net.state_dict().items()})
+    ref_net.load_state_dict({k: torch.tensor(v) for k, v in sd.items()},
+                            strict=True)
+
+    # Reference SE(3) diffuser at config defaults
+    # (configs/model/diffusion.yaml:42-58).
+    diffuser = frame_mod.FrameDiffuser(
+        trans_diffuser=r3_mod.R3Diffuser(min_b=0.1, max_b=20.0,
+                                         coordinate_scaling=0.1),
+        rot_diffuser=so3_mod.SO3Diffuser(
+            cache_dir=str(out_dir / "igso3_ref_cache"),
+            schedule="logarithmic", min_sigma=0.1, max_sigma=1.5,
+            num_sigma=1000, num_omega=1000, use_cached_score=False),
+        min_t=args.min_t)
+
+    feats = featurize_target(args.target)
+    L = feats["aatype"].shape[0]
+    B = args.replica_per_batch
+    min_t = args.min_t
+    num_timesteps = args.num_timesteps
+    self_conditioning = True
+    noise_scale = 1.0
+    probability_flow = True
+
+    def t7(x):
+        return torch.tensor(np.asarray(x, np.float32))
+
+    base = {
+        "aatype": torch.tensor(feats["aatype"].astype(np.int64))[None].repeat(B, 1),
+        "residue_idx": torch.tensor(feats["residue_idx"].astype(np.int64))[None].repeat(B, 1),
+        "residue_mask": t7(feats["residue_mask"])[None].repeat(B, 1),
+        "fixed_mask": t7(feats["fixed_mask"])[None].repeat(B, 1),
+        "torsion_angles_sin_cos":
+            t7(feats["torsion_angles_sin_cos"])[None].repeat(B, 1, 1, 1),
+    }
+    gt_rigids_4x4 = t7(feats["rigidgroups_gt_frames"][..., 0, :, :])[None]
+
+    # forward_backward, re-typed from the reference predict_step
+    # (diffusion_module.py:260-334).
+    @torch.no_grad()
+    def forward_backward(rigids_0, t_delta: float):
+        T = t_delta
+        _num_timesteps = int(float(num_timesteps) * T)
+        dt = 1.0 / _num_timesteps
+        ts = np.linspace(min_t, T, _num_timesteps)[::-1]
+        _feats = {k: v.clone() for k, v in base.items()}
+        rigids_t = diffuser.forward_marginal(
+            rigids_0=rigids_0,
+            t=t_delta * torch.ones(B),
+            diffuse_mask=_feats["residue_mask"],
+            as_tensor_7=True)["rigids_t"]
+        _feats["rigids_t"] = rigids_t
+
+        diffuse_mask = (1 - _feats["fixed_mask"]) * _feats["residue_mask"]
+        if self_conditioning:
+            _feats["sc_ca_t"] = torch.zeros_like(rigids_t[..., 4:])
+            _feats["t"] = ts[0] * torch.ones(B)
+            _feats["sc_ca_t"] = ref_net(_feats, as_tensor_7=True)["rigids"][..., 4:]
+
+        rigids_pred = None
+        out = None
+        for t in ts:
+            _feats["t"] = t * torch.ones(B)
+            out = ref_net(_feats, as_tensor_7=False)
+            if t == min_t:
+                rigids_pred = out["rigids"]
+            else:
+                if self_conditioning:
+                    _feats["sc_ca_t"] = out["rigids"].to_tensor_7()[..., 4:]
+                pred_scores = diffuser.score(
+                    rigids_0=out["rigids"],
+                    rigids_t=Rigid.from_tensor_7(_feats["rigids_t"]),
+                    t=_feats["t"],
+                    mask=_feats["residue_mask"])
+                rigids_pred = diffuser.reverse(
+                    rigids_t=Rigid.from_tensor_7(_feats["rigids_t"]),
+                    rot_score=pred_scores["rot_score"],
+                    trans_score=pred_scores["trans_score"],
+                    t=_feats["t"], dt=dt,
+                    diffuse_mask=diffuse_mask,
+                    center_trans=True,
+                    noise_scale=noise_scale,
+                    probability_flow=probability_flow)
+                _feats["rigids_t"] = rigids_pred.to_tensor_7()
+        atom37 = all_atom.compute_backbone(
+            rigids_pred, out["psi"], aatype=_feats["aatype"])[0]
+        return atom37.cpu().numpy()
+
+    torch.manual_seed(args.torch_seed)
+    deltas = delta_grid(args)
+    ensembles = []
+    t_start = time.time()
+    total_jobs = len(deltas) * -(-args.n_replica // B)
+    done = 0
+    for t_delta in deltas:
+        left = args.n_replica
+        while left > 0:
+            take = min(B, left)
+            rigids_0 = Rigid.from_tensor_4x4(
+                gt_rigids_4x4.repeat(take, 1, 1, 1))
+            atom37 = forward_backward(rigids_0, float(t_delta))
+            ensembles.append(atom37[:take])
+            left -= take
+            done += 1
+            el = time.time() - t_start
+            print(f"[torch] delta={t_delta} job {done}/{total_jobs} "
+                  f"({el:.0f}s elapsed, ~{el / done * (total_jobs - done):.0f}s left)",
+                  flush=True)
+    atom37 = np.concatenate(ensembles, axis=0)
+    np.save(path, atom37.astype(np.float32))
+    print(f"[torch] {atom37.shape[0]} conformations (L={L}) "
+          f"in {time.time() - t_start:.0f}s -> {path}")
+
+
+# ---------------------------------------------------------------------------
+# Phase: metrics
+
+def run_metrics(args, out_dir: Path):
+    from str2str_tpu.evaluation import metrics as M
+
+    def ca(path):
+        a37 = np.load(path)
+        return a37[:, :, 1, :]
+
+    torch_ca = ca(out_dir / "torch_ref.npy")
+    jax_a = ca(out_dir / f"jax_seed{args.seeds[0]}.npy")
+    jax_b = ca(out_dir / f"jax_seed{args.seeds[1]}.npy")
+
+    def js(a, b):
+        d = {"target": b, "pred": a}
+        return {"js_pwd": M.js_pwd(d)["pred"],
+                "js_rg": M.js_rg(d)["pred"],
+                "js_tica": M.js_tica(d, return_tic=False)["pred"]}
+
+    rows = {
+        "cross_framework (torch-ref vs jax)": js(jax_a, torch_ca),
+        "cross_framework (torch-ref vs jax seed B)": js(jax_b, torch_ca),
+        "jax seed floor (seed A vs seed B)": js(jax_a, jax_b),
+    }
+    result = {
+        "target": Path(args.target).stem,
+        "ckpt": args.ckpt,
+        "n_conf": int(torch_ca.shape[0]),
+        "num_timesteps": args.num_timesteps,
+        "dtype": args.dtype,
+        "rows": rows,
+    }
+    (out_dir / "crossparity.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result, indent=2))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all",
+                    choices=["jax", "torch", "metrics", "all"])
+    ap.add_argument("--ckpt", default="checkpoints/trained_r3.npz")
+    ap.add_argument("--target", default="testdata/CLN025.pdb")
+    ap.add_argument("--out", default="outputs/crossparity")
+    ap.add_argument("--n-replica", type=int, default=100)
+    ap.add_argument("--replica-per-batch", type=int, default=50)
+    ap.add_argument("--num-timesteps", type=int, default=100)
+    ap.add_argument("--delta-min", type=float, default=0.25)
+    ap.add_argument("--delta-max", type=float, default=0.70)
+    ap.add_argument("--delta-step", type=float, default=0.05)
+    ap.add_argument("--min-t", type=float, default=1e-2)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--seeds", type=int, nargs=2, default=(2, 4))
+    ap.add_argument("--torch-seed", type=int, default=17)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if args.phase in ("jax", "all"):
+        run_jax(args, out_dir)
+    if args.phase in ("torch", "all"):
+        run_torch(args, out_dir)
+    if args.phase in ("metrics", "all"):
+        run_metrics(args, out_dir)
+
+
+if __name__ == "__main__":
+    main()
