@@ -23,7 +23,8 @@ from ..training.losses import loss_config_from
 from ..training.trainer import TrainConfig, Trainer
 from ..utils.logging import get_logger
 from ..utils.metrics_logger import build_loggers
-from ..utils.task import finalize_on_exit, set_crash_dir, task_wrapper
+from ..utils.task import extras, finalize_on_exit, print_config_enabled, \
+    set_crash_dir, task_wrapper
 
 log = get_logger(__name__)
 
@@ -34,6 +35,7 @@ def main(argv=None):
     _jax_setup()
     name, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
     cfg = load_config(name or "train", overrides)
+    extras(cfg)
 
     t_cfg = cfg.data.dataset.transform
     ds = ProteinDataset(
@@ -66,6 +68,25 @@ def main(argv=None):
     net = build_network(cfg)
     diffuser = build_diffuser(cfg)
     tr = cfg.trainer
+
+    # Callbacks group (reference configs/callbacks/*): maps onto trainer
+    # knobs — model_checkpoint -> best/periodic checkpoints, early_stopping
+    # -> patience. `callbacks=none` / `callbacks: null` (debug profiles)
+    # disables both.
+    es_patience = tr.get("early_stopping_patience", 100)
+    save_best = tr.get("save_best", True)
+    ckpt_every = tr.get("ckpt_every_n_epochs", 1)
+    keep_ckpts = tr.get("keep_ckpts", 3)
+    if "callbacks" in cfg:
+        cb = cfg.get("callbacks") or {}
+        es = cb.get("early_stopping") if hasattr(cb, "get") else None
+        es_patience = int(es.get("patience", 100)) if es else -1
+        mc = cb.get("model_checkpoint") if hasattr(cb, "get") else None
+        save_best = bool(mc) and mc.get("monitor") is not None
+        if mc:
+            ckpt_every = int(mc.get("every_n_epochs") or ckpt_every)
+            if mc.get("save_top_k"):
+                keep_ckpts = int(mc["save_top_k"])
     trainer = Trainer(
         net, diffuser, loss_config_from(cfg),
         TrainConfig(
@@ -81,13 +102,16 @@ def main(argv=None):
             seed=cfg.get("seed", 0) or 0, num_devices=tr.get("num_devices", -1),
             log_every_n_steps=tr.get("log_every_n_steps", 50),
             val_every_n_epochs=tr.get("val_every_n_epochs", 1),
-            ckpt_every_n_epochs=tr.get("ckpt_every_n_epochs", 1),
-            keep_ckpts=tr.get("keep_ckpts", 3),
+            ckpt_every_n_epochs=ckpt_every,
+            keep_ckpts=keep_ckpts,
             gradient_accumulation=tr.get("gradient_accumulation", 1),
             use_fused_kernels=tr.get("use_fused_kernels", True),
             steps_per_call=tr.get("steps_per_call", 1),
-            early_stopping_patience=tr.get("early_stopping_patience", -1),
-            save_best=tr.get("save_best", True),
+            early_stopping_patience=es_patience,
+            save_best=save_best,
+            limit_train_batches=tr.get("limit_train_batches", 1.0),
+            limit_val_batches=tr.get("limit_val_batches", 1.0),
+            overfit_batches=int(tr.get("overfit_batches", 0) or 0),
             seq_devices=int(tr.get("seq_devices", 1) or 1),
             detect_anomaly=tr.get("detect_anomaly", False),
             profile_dir=(str(cfg.paths.log_dir) + "/profile") if tr.get("profile") else ""),
@@ -96,8 +120,9 @@ def main(argv=None):
         loggers=build_loggers(cfg))
     set_crash_dir(str(cfg.paths.log_dir))
     finalize_on_exit(trainer.loggers)
-    from ..config.core import dump_config_tree
-    dump_config_tree(cfg, str(cfg.paths.log_dir))
+    if print_config_enabled(cfg):
+        from ..config.core import dump_config_tree
+        dump_config_tree(cfg, str(cfg.paths.log_dir))
 
     # Initialize params from the first batch's shapes.
     import jax
@@ -141,6 +166,13 @@ def main(argv=None):
     result = trainer.fit(params, train_loader, val_loader,
                          resume_from=cfg.get("resume_from") or None)
     log.info(f"training done at step {result['step']}; best val {result['best_val']:.4f}")
+    if cfg.get("test"):
+        # Reference train.yaml `test: true` runs trainer.test on the best
+        # checkpoint, whose test_step is NotImplemented
+        # (diffusion_module.py:201-208) — mirror the surface, warn instead
+        # of crashing.
+        log.warning("test=true: the reference's test_step is NotImplemented "
+                    "(diffusion_module.py:201-208); skipping the test stage")
     return result
 
 

@@ -155,7 +155,27 @@ def load_config(config_name: str, overrides: Optional[List[str]] = None,
         path = config_dir / f"{rel}.yaml"
         if not path.exists():
             raise FileNotFoundError(f"config file not found: {path}")
-        return yaml.safe_load(path.read_text()) or {}
+        out = yaml.safe_load(path.read_text()) or {}
+        # Group-file inheritance (Hydra's in-group `defaults` list of plain
+        # sibling names, e.g. reference configs/debug/fdr.yaml:
+        # `defaults: [default]` pulls debug/default.yaml underneath). The
+        # ROOT config's defaults list ({group: name} entries) is handled by
+        # load_config, not here.
+        sub_defaults = out.get("defaults")
+        if (sub_defaults and "/" in rel
+                and all(isinstance(e, str) for e in sub_defaults)):
+            out = dict(out)
+            out.pop("defaults")
+            group = rel.rsplit("/", 1)[0]
+            merged: dict = {}
+            for entry in sub_defaults:
+                if entry == "_self_":
+                    merged = _deep_merge(merged, out)
+                    out = {}
+                    continue
+                merged = _deep_merge(merged, read_yaml(f"{group}/{entry}"))
+            out = _deep_merge(merged, out)
+        return out
 
     root = read_yaml(config_name)
     defaults = root.pop("defaults", [])

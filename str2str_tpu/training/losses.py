@@ -37,6 +37,18 @@ class LossConfig:
     fape_weight: float = 0.5
     fape_clamp_distance: float = 10.0
     fape_t_threshold: float = 0.25
+    # Reference config-gated extras, default-disabled (reference
+    # loss.py:1674-1701 + configs/model/diffusion.yaml:64-78). Each requires
+    # the matching head outputs in `out` — same contract as the reference
+    # (it KeyErrors on the missing logits too).
+    distogram_enabled: bool = False
+    distogram_weight: float = 1.0
+    supervised_chi_enabled: bool = False
+    supervised_chi_weight: float = 1.0
+    lddt_enabled: bool = False
+    lddt_weight: float = 1.0
+    tm_enabled: bool = False
+    tm_weight: float = 1.0
     eps: float = 1e-6
 
 
@@ -90,7 +102,9 @@ def score_matching_loss(out: Dict[str, jnp.ndarray],
     losses = {"translation": _guard(trans_loss), "rotation": _guard(rot_loss)}
     total = cfg.trans_weight * losses["translation"] + cfg.rot_weight * losses["rotation"]
 
-    if cfg.backbone_enabled or cfg.pwd_enabled or cfg.fape_enabled:
+    need_gt_atoms = (cfg.backbone_enabled or cfg.pwd_enabled
+                     or cfg.fape_enabled or cfg.lddt_enabled)
+    if need_gt_atoms or cfg.tm_enabled:
         gt_rigids = Rigid.from_tensor_4x4(
             batch["rigidgroups_gt_frames"][..., 0, :, :].astype(jnp.float32))
         gt_psi = batch["torsion_angles_sin_cos"][..., 2, :].astype(jnp.float32)
@@ -144,6 +158,44 @@ def score_matching_loss(out: Dict[str, jnp.ndarray],
         losses["fape"] = _guard(jnp.mean(fape))
         total = total + cfg.fape_weight * losses["fape"]
 
+    if cfg.distogram_enabled:
+        # Reference loss.py:1674-1679: requires a distogram head
+        # (out["distogram_logits"]) and pseudo-beta features.
+        from .aux_losses import distogram_loss
+        losses["distogram"] = _guard(distogram_loss(
+            out["distogram_logits"], batch["pseudo_beta"],
+            batch["pseudo_beta_mask"]))
+        total = total + cfg.distogram_weight * losses["distogram"]
+
+    if cfg.supervised_chi_enabled:
+        # Reference loss.py:1680-1685 (psi-only in this model): requires the
+        # torsion head's normalized + unnormalized angles in `out`.
+        from .aux_losses import supervised_torsion_loss
+        gt_sc = batch["torsion_angles_sin_cos"][..., 2:3, :]
+        losses["supervised_chi"] = _guard(supervised_torsion_loss(
+            out["sm_angles"], out["sm_unnormalized_angles"],
+            gt_sc, -gt_sc, loss_mask[..., None]))
+        total = total + cfg.supervised_chi_weight * losses["supervised_chi"]
+
+    if cfg.lddt_enabled:
+        # Reference loss.py:1686-1691: requires an lddt confidence head.
+        from .aux_losses import lddt_loss
+        losses["lddt"] = _guard(lddt_loss(
+            out["lddt_logits"], out["atom37"], gt_atom37,
+            gt_atom37_mask.astype(jnp.float32) * loss_mask[..., None],
+            resolution=batch.get("resolution", jnp.ones_like(t))))
+        total = total + cfg.lddt_weight * losses["lddt"]
+
+    if cfg.tm_enabled:
+        # Reference loss.py:1692-1697: requires a PAE head.
+        from .aux_losses import tm_loss
+        pred_rigids = Rigid.from_quat_trans(
+            out["quat"].astype(jnp.float32), out["trans"].astype(jnp.float32))
+        losses["tm"] = _guard(tm_loss(
+            out["tm_logits"], pred_rigids, gt_rigids, loss_mask,
+            resolution=batch.get("resolution", jnp.ones_like(t))))
+        total = total + cfg.tm_weight * losses["tm"]
+
     losses["loss"] = total
     return total, losses
 
@@ -167,5 +219,13 @@ def loss_config_from(cfg) -> LossConfig:
         fape_weight=l.get("fape", {}).get("weight", 0.5),
         fape_clamp_distance=l.get("fape", {}).get("clamp_distance", 10.0),
         fape_t_threshold=l.get("fape", {}).get("t_threshold", 0.25),
+        distogram_enabled=l.get("distogram", {}).get("enabled", False),
+        distogram_weight=l.get("distogram", {}).get("weight", 1.0),
+        supervised_chi_enabled=l.get("supervised_chi", {}).get("enabled", False),
+        supervised_chi_weight=l.get("supervised_chi", {}).get("weight", 1.0),
+        lddt_enabled=l.get("lddt", {}).get("enabled", False),
+        lddt_weight=l.get("lddt", {}).get("weight", 1.0),
+        tm_enabled=l.get("tm", {}).get("enabled", False),
+        tm_weight=l.get("tm", {}).get("weight", 1.0),
         eps=l.eps,
     )

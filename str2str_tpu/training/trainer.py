@@ -78,6 +78,15 @@ class TrainConfig:
     # stacked and scanned on-device (lax.scan), amortizing the per-call
     # pytree marshalling / dispatch latency. 1 = classic per-step loop.
     steps_per_call: int = 1
+    # Per-epoch batch caps (reference trainer.limit_train_batches /
+    # limit_val_batches, configs/debug/limit.yaml): a float < 1.0 is a
+    # fraction of the loader's estimated batch count, an int >= 1 an
+    # absolute count, 1.0/0 disables.
+    limit_train_batches: float = 1.0
+    limit_val_batches: float = 1.0
+    # Train (and validate) on just the first N train batches, repeatedly
+    # (reference trainer.overfit_batches, configs/debug/overfit.yaml).
+    overfit_batches: int = 0
     # Sequence-shard axis size for 2-D (data, seq) mesh TRAINING: >1 runs
     # the score network inside shard_map with its O(L^2) edge tensors
     # column-sharded over `seq_devices` devices per data shard
@@ -356,6 +365,33 @@ class Trainer:
             d, h, m, sec = parts[-4:]
             deadline = time.time() + ((d * 24 + h) * 60 + m) * 60 + sec
 
+        def limit_count(loader, limit) -> Optional[int]:
+            """Batches allowed per epoch under a limit_*_batches setting."""
+            if limit is None:
+                return None
+            if isinstance(limit, int):  # absolute count (0 = disabled)
+                return int(limit) if limit >= 1 else None
+            frac = float(limit)         # fraction of the epoch (1.0 = all)
+            if frac >= 1.0:
+                return None
+            try:
+                est = -(-len(loader.indices) // loader.batch_size)
+            except (AttributeError, TypeError):
+                try:
+                    est = len(loader)
+                except TypeError:
+                    return None
+            return max(1, int(est * frac))
+
+        overfit_set = None
+        if cfg.overfit_batches > 0:
+            import itertools
+            overfit_set = list(itertools.islice(iter(train_loader),
+                                                cfg.overfit_batches))
+        lim_train = limit_count(train_loader, cfg.limit_train_batches)
+        lim_val = (limit_count(val_loader, cfg.limit_val_batches)
+                   if val_loader is not None else None)
+
         key = jax.random.PRNGKey(cfg.seed + start_epoch)
         best_val = float(sched["best_val"])
         plateau_wait = int(sched["plateau_wait"])
@@ -408,7 +444,9 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling[0] = False
 
-            for batch in train_loader:
+            n_batches = 0
+            for batch in (overfit_set if overfit_set is not None
+                          else train_loader):
                 host = {k: v for k, v in batch.items()
                         if isinstance(v, np.ndarray)}
                 if K == 1:
@@ -419,6 +457,9 @@ class Trainer:
                     pending.setdefault(shape_key, []).append(host)
                     if len(pending[shape_key]) == K:
                         run_steps(pending.pop(shape_key))
+                n_batches += 1
+                if lim_train is not None and n_batches >= lim_train:
+                    break
                 if 0 < cfg.max_steps <= step:
                     break
                 if deadline is not None and time.time() >= deadline:
@@ -444,9 +485,15 @@ class Trainer:
                 for k in train_metrics[0]:
                     row[f"train/{k}"] = float(np.mean([m[k] for m in train_metrics]))
 
-            if val_loader is not None and (epoch + 1) % cfg.val_every_n_epochs == 0:
+            val_source = (overfit_set if overfit_set is not None
+                          else val_loader)
+            if val_source is not None and (epoch + 1) % cfg.val_every_n_epochs == 0:
                 val_losses = []
-                for batch in val_loader:
+                n_val = 0
+                for batch in val_source:
+                    n_val += 1
+                    if lim_val is not None and n_val > lim_val:
+                        break
                     batch = mesh_lib.shard_batch(
                         {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
                         self.mesh)

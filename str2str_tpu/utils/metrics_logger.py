@@ -119,6 +119,132 @@ class WandbLogger:
             self.run.finish()
 
 
+class _SoftBackendLogger:
+    """Base for optional-dependency backends (reference
+    configs/logger/{mlflow,neptune,comet,aim}.yaml): tries the import in
+    __init__; when the package is absent the logger degrades to a warning
+    no-op, exactly like WandbLogger."""
+
+    backend = ""
+
+    def __init__(self, **kw):
+        self._ok = False
+        try:
+            self._setup(**kw)
+            self._ok = True
+        except ImportError:
+            log.warning(f"{self.backend} is not installed; "
+                        f"{type(self).__name__} is a no-op")
+        except Exception as e:  # mis-config (missing token/uri) degrades too
+            log.warning(f"{type(self).__name__} disabled: {e}")
+
+    def _setup(self, **kw):
+        raise NotImplementedError
+
+    def log_metrics(self, row: Dict[str, Any], step: Optional[int] = None):
+        if self._ok:
+            self._log(row, int(row.get("step", step or 0)))
+
+    def _log(self, row, step):
+        raise NotImplementedError
+
+    def log_hyperparams(self, params: Dict[str, Any]):
+        pass
+
+    def finalize(self):
+        pass
+
+
+class MLFlowLogger(_SoftBackendLogger):
+    backend = "mlflow"
+
+    def _setup(self, tracking_uri: str = "outputs/logs/mlflow/mlruns",
+               experiment_name: str = "str2str_tpu", **_):
+        import mlflow
+        self._mlflow = mlflow
+        mlflow.set_tracking_uri(str(tracking_uri))
+        mlflow.set_experiment(experiment_name)
+        self._run = mlflow.start_run()
+
+    def _log(self, row, step):
+        self._mlflow.log_metrics(
+            {k.replace("/", "_"): float(v) for k, v in row.items()
+             if isinstance(v, (int, float))}, step=step)
+
+    def log_hyperparams(self, params):
+        if self._ok:
+            self._mlflow.log_params({k.replace("/", "_"): v
+                                     for k, v in params.items()})
+
+    def finalize(self):
+        if self._ok:
+            self._mlflow.end_run()
+
+
+class NeptuneLogger(_SoftBackendLogger):
+    backend = "neptune"
+
+    def _setup(self, project: str = "", **_):
+        import neptune
+        self._run = neptune.init_run(project=project or None)
+
+    def _log(self, row, step):
+        for k, v in row.items():
+            if isinstance(v, (int, float)):
+                self._run[k].append(v, step=step)
+
+    def log_hyperparams(self, params):
+        if self._ok:
+            self._run["hparams"] = params
+
+    def finalize(self):
+        if self._ok:
+            self._run.stop()
+
+
+class CometLogger(_SoftBackendLogger):
+    backend = "comet_ml"
+
+    def _setup(self, project_name: str = "str2str_tpu", **_):
+        import comet_ml
+        self._exp = comet_ml.Experiment(project_name=project_name)
+
+    def _log(self, row, step):
+        self._exp.log_metrics(
+            {k: v for k, v in row.items() if isinstance(v, (int, float))},
+            step=step)
+
+    def log_hyperparams(self, params):
+        if self._ok:
+            self._exp.log_parameters(params)
+
+    def finalize(self):
+        if self._ok:
+            self._exp.end()
+
+
+class AimLogger(_SoftBackendLogger):
+    backend = "aim"
+
+    def _setup(self, repo: Optional[str] = None,
+               experiment: Optional[str] = None, **_):
+        import aim
+        self._run = aim.Run(repo=repo, experiment=experiment)
+
+    def _log(self, row, step):
+        for k, v in row.items():
+            if isinstance(v, (int, float)):
+                self._run.track(v, name=k, step=step)
+
+    def log_hyperparams(self, params):
+        if self._ok:
+            self._run["hparams"] = dict(params)
+
+    def finalize(self):
+        if self._ok:
+            self._run.close()
+
+
 class MultiLogger:
     def __init__(self, loggers):
         self.loggers = list(loggers)
@@ -144,6 +270,14 @@ def build_logger(name: str, save_dir: str, **kw):
         return TensorBoardLogger(str(Path(save_dir) / "tensorboard"))
     if name == "wandb":
         return WandbLogger(save_dir=save_dir, **kw)
+    if name == "mlflow":
+        return MLFlowLogger(**kw)
+    if name == "neptune":
+        return NeptuneLogger(**kw)
+    if name == "comet":
+        return CometLogger(**kw)
+    if name == "aim":
+        return AimLogger(**kw)
     if name in ("many", "many_loggers"):
         return MultiLogger([CSVLogger(save_dir),
                             TensorBoardLogger(str(Path(save_dir) / "tensorboard"))])
@@ -151,7 +285,11 @@ def build_logger(name: str, save_dir: str, **kw):
 
 
 def build_loggers(cfg) -> MultiLogger:
-    """From the config `logger` group (name + optional kwargs)."""
+    """From the config `logger` group (name + optional kwargs).
+    `logger: null` (debug profiles, reference configs/debug/default.yaml)
+    disables experiment logging entirely."""
+    if "logger" in cfg and not cfg.get("logger"):
+        return MultiLogger([])
     lg = cfg.get("logger") or {}
     name = lg.get("name", "csv") if hasattr(lg, "get") else str(lg)
     save_dir = str(lg.get("save_dir", "outputs/logs")) if hasattr(lg, "get") \

@@ -57,3 +57,24 @@ def finalize_on_exit(loggers) -> None:
 
 def set_crash_dir(path: str) -> None:
     _crash_dir[0] = path
+
+
+def extras(cfg) -> None:
+    """Apply the `extras` config group before the task runs (reference
+    utils.extras, utils.py:12-40 + configs/extras/default.yaml):
+    ignore_warnings silences python warnings, enforce_tags requires a
+    non-empty `tags` list (warning here — the reference prompts
+    interactively, which has no non-interactive equivalent)."""
+    ex = cfg.get("extras") or {}
+    if ex.get("ignore_warnings"):
+        import warnings
+        log.info("extras.ignore_warnings=true: disabling python warnings")
+        warnings.filterwarnings("ignore")
+    if ex.get("enforce_tags") and not cfg.get("tags"):
+        log.warning("extras.enforce_tags=true but no tags given; "
+                    "set tags='[...]' to identify the run")
+
+
+def print_config_enabled(cfg) -> bool:
+    ex = cfg.get("extras") or {}
+    return bool(ex.get("print_config", True))

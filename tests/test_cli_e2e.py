@@ -165,15 +165,71 @@ def test_experiment_and_debug_config_groups():
     from str2str_tpu.config.core import load_config
 
     cfg = load_config("train", ["experiment=example"])
-    assert cfg.seed == 12345
+    assert cfg.seed == 42
     assert cfg.data.batch_size == 4
-    assert cfg.trainer.ckpt_every_n_epochs == 10
+    assert cfg.trainer.min_epochs == 500 and cfg.trainer.max_epochs == 1000
+    assert cfg.callbacks.model_checkpoint.save_top_k == -1
+    assert cfg.callbacks.model_checkpoint.every_n_epochs == 10
     # non-overridden keys survive
     assert cfg.model.net.node_embed_size == 256
 
     cfg2 = load_config("train", ["debug=default"])
     assert cfg2.trainer.detect_anomaly is True
-    assert cfg2.trainer.max_steps == 10
+    assert cfg2.trainer.max_epochs == 1
+    assert cfg2.get("callbacks") is None and cfg2.get("logger") is None
+
+
+def test_debug_profile_groups():
+    """debug/{fdr,limit,overfit,profiler} compose via in-group defaults
+    inheritance (reference configs/debug/fdr.yaml:5 `defaults: [default]`)."""
+    from str2str_tpu.config.core import load_config
+
+    fdr = load_config("train", ["debug=fdr"])
+    assert fdr.trainer.max_steps == 1 and fdr.trainer.limit_val_batches == 1
+    assert fdr.trainer.detect_anomaly is True  # inherited from debug/default
+
+    lim = load_config("train", ["debug=limit"])
+    assert lim.trainer.limit_train_batches == 0.01
+    assert lim.trainer.limit_val_batches == 0.05
+    assert lim.trainer.max_epochs == 3
+
+    ov = load_config("train", ["debug=overfit"])
+    assert ov.trainer.overfit_batches == 3
+    assert ov.get("callbacks") is None
+
+    pr = load_config("train", ["debug=profiler"])
+    assert pr.trainer.profile is True and pr.trainer.max_epochs == 1
+
+
+def test_callbacks_and_extras_groups():
+    from str2str_tpu.config.core import load_config
+
+    cfg = load_config("train", [])
+    assert cfg.callbacks.early_stopping.patience == 100
+    assert cfg.callbacks.model_checkpoint.monitor == "val/loss"
+    assert cfg.callbacks.model_summary.max_depth == 1
+    assert cfg.extras.enforce_tags is True and cfg.extras.print_config is True
+
+    none = load_config("train", ["callbacks=none"])
+    assert not none.get("callbacks")
+
+
+def test_logger_group_backends_degrade(tmp_path):
+    """mlflow/neptune/comet/aim logger groups compose and degrade to no-ops
+    when their packages are absent (reference configs/logger/*.yaml)."""
+    from str2str_tpu.config.core import Config, load_config
+    from str2str_tpu.utils.metrics_logger import build_loggers
+
+    for name in ("mlflow", "neptune", "comet", "aim"):
+        cfg = load_config("train", [f"logger={name}",
+                                    f"paths.output_dir={tmp_path}"])
+        lg = build_loggers(cfg)
+        lg.log_metrics({"step": 1, "train/loss": 1.0})
+        lg.log_hyperparams({"lr": 1e-4})
+        lg.finalize()
+
+    # logger: null (debug profiles) disables logging entirely
+    assert build_loggers(Config({"logger": None})).loggers == []
 
 
 def test_sweep_from_config(tmp_path, monkeypatch):

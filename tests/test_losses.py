@@ -127,3 +127,56 @@ def test_loss_parity_with_reference(rng, reference_available):
             float(my_bd[k]), float(ref_bd[k]), rtol=2e-4, atol=1e-5,
             err_msg=f"loss term {k}")
     np.testing.assert_allclose(float(my_total), float(ref_total), rtol=2e-4)
+
+
+def test_gated_extra_losses(rng):
+    """Reference config-gated extras (loss.py:1674-1701): enabling
+    distogram/supervised_chi/lddt/tm computes finite, weighted terms when
+    the matching head outputs are provided (and KeyErrors like the
+    reference when they are not)."""
+    import pytest
+
+    out, batch = _make_batch(rng)
+    B, L = batch["seq_mask"].shape
+    quat = np.zeros((B, L, 4), np.float32)
+    quat[..., 0] = 1.0
+    out["quat"] = quat
+    out["distogram_logits"] = rng.randn(B, L, L, 64).astype(np.float32)
+    psi = batch["torsion_angles_sin_cos"][..., 2:3, :]
+    out["sm_angles"] = psi
+    out["sm_unnormalized_angles"] = psi * 2.0
+    out["lddt_logits"] = rng.randn(B, L, 50).astype(np.float32)
+    out["tm_logits"] = rng.randn(B, L, L, 64).astype(np.float32)
+    batch["pseudo_beta"] = batch["gt_trans_0"]
+    batch["pseudo_beta_mask"] = batch["seq_mask"]
+
+    cfg = LossConfig(distogram_enabled=True, supervised_chi_enabled=True,
+                     lddt_enabled=True, tm_enabled=True)
+    total, bd = score_matching_loss(
+        {k: jnp.asarray(v) for k, v in out.items()},
+        {k: jnp.asarray(v) for k, v in batch.items()}, cfg)
+    for k in ("distogram", "supervised_chi", "lddt", "tm"):
+        assert k in bd and np.isfinite(float(bd[k])), k
+    assert np.isfinite(float(total))
+    # exact psi prediction -> supervised_chi reduces to the norm penalty
+    assert float(bd["supervised_chi"]) < 0.1
+
+    # missing head outputs fail loudly, like the reference's out["..."]
+    bare = {k: jnp.asarray(v) for k, v in out.items()
+            if k not in ("distogram_logits",)}
+    with pytest.raises(KeyError):
+        score_matching_loss(bare,
+                            {k: jnp.asarray(v) for k, v in batch.items()},
+                            LossConfig(distogram_enabled=True))
+
+
+def test_loss_config_from_reads_gates():
+    from str2str_tpu.config.core import load_config
+    from str2str_tpu.training.losses import loss_config_from
+
+    cfg = load_config("train", ["model.loss.tm.enabled=true",
+                                "model.loss.distogram.weight=0.3"])
+    lc = loss_config_from(cfg)
+    assert lc.tm_enabled is True and lc.distogram_enabled is False
+    assert lc.distogram_weight == 0.3
+    assert lc.supervised_chi_enabled is False and lc.lddt_enabled is False

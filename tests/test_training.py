@@ -569,3 +569,69 @@ def test_max_time_stops_training(tmp_path, rng):
     # A 1 s budget must not run anywhere near the full 10000 epochs.
     assert _t.time() - t0 < 60
     assert len(r["history"]) <= 2
+
+
+def test_limit_and_overfit_batches(tmp_path, rng):
+    """trainer.limit_train_batches / limit_val_batches / overfit_batches
+    (reference configs/debug/{limit,overfit}.yaml semantics)."""
+    net, base = _tiny_setup()
+    batch = _batch(rng, B=2, L=12)
+    params = _init_params(net, batch)
+    counts = {"train": 0, "val": 0}
+
+    class StubTrainer(Trainer):
+        def compile(self):
+            def train_step(p, o, key, b):
+                counts["train"] += 1
+                return p, o, {"loss": jnp.asarray(1.0)}
+
+            def eval_step(p, key, b):
+                counts["val"] += 1
+                return {"loss": jnp.asarray(1.0)}
+
+            self.train_step, self.eval_step = train_step, eval_step
+
+    # absolute int limits: 2 train batches + 1 val batch per epoch
+    t = StubTrainer(net, base.diffuser, LossConfig(),
+                    TrainConfig(lr=5e-4, num_devices=1, max_epochs=2,
+                                limit_train_batches=2, limit_val_batches=1),
+                    log_dir=str(tmp_path / "l1"), ckpt_dir=str(tmp_path / "c1"))
+    t.fit(params, [batch] * 5, [batch] * 4)
+    assert counts == {"train": 4, "val": 2}
+
+    # fractional limit: 0.5 of a 4-batch loader -> 2 batches/epoch
+    counts.update(train=0, val=0)
+    t2 = StubTrainer(net, base.diffuser, LossConfig(),
+                     TrainConfig(lr=5e-4, num_devices=1, max_epochs=1,
+                                 limit_train_batches=0.5),
+                     log_dir=str(tmp_path / "l2"), ckpt_dir=str(tmp_path / "c2"))
+    t2.fit(params, [batch] * 4, None)
+    assert counts["train"] == 2
+
+    # overfit_batches: first N train batches used for train AND val
+    counts.update(train=0, val=0)
+    marked = []
+    for i in range(4):
+        b = {k: v.copy() for k, v in batch.items()}
+        b["residue_idx"] = b["residue_idx"] + i  # distinguishable
+        marked.append(b)
+    seen_val = []
+
+    class OverfitTrainer(StubTrainer):
+        def compile(self):
+            super().compile()
+            orig = self.eval_step
+
+            def eval_step(p, key, b):
+                seen_val.append(int(np.asarray(b["residue_idx"])[0, 0]))
+                return orig(p, key, b)
+
+            self.eval_step = eval_step
+
+    t3 = OverfitTrainer(net, base.diffuser, LossConfig(),
+                        TrainConfig(lr=5e-4, num_devices=1, max_epochs=2,
+                                    overfit_batches=2),
+                        log_dir=str(tmp_path / "l3"), ckpt_dir=str(tmp_path / "c3"))
+    t3.fit(params, marked, None)
+    assert counts == {"train": 4, "val": 4}       # 2 batches x 2 epochs, both loops
+    assert set(seen_val) == {0, 1}                # val ran on the overfit subset
