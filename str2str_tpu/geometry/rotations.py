@@ -28,6 +28,10 @@ __all__ = [
     "matrix_to_axis_angle",
     "compose_axis_angle",
     "random_quat",
+    "euler_angles_to_matrix",
+    "matrix_to_euler_angles",
+    "rotation_6d_to_matrix",
+    "matrix_to_rotation_6d",
 ]
 
 
@@ -208,3 +212,102 @@ def random_quat(key, shape=(), dtype=jnp.float32) -> jnp.ndarray:
     g = jax.random.normal(key, shape + (4,), dtype=dtype)
     q = g / jnp.linalg.norm(g, axis=-1, keepdims=True)
     return standardize_quat(q)
+
+
+# ---------------------------------------------------------------------------
+# Euler-angle and 6D rotation representations (reference rotation3d.py:
+# euler_angles_to_matrix :194, matrix_to_euler_angles :266,
+# rotation_6d_to_matrix :556, matrix_to_rotation_6d :580 — the PyTorch3D
+# converter surface the reference carries; unused by any Str2Str call path
+# but part of its API).
+
+
+def _single_axis_rotation(axis: str, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrices about one lab axis (rotation3d.py:164-192)."""
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    one, zero = jnp.ones_like(angle), jnp.zeros_like(angle)
+    if axis == "X":
+        flat = (one, zero, zero, zero, cos, -sin, zero, sin, cos)
+    elif axis == "Y":
+        flat = (cos, zero, sin, zero, one, zero, -sin, zero, cos)
+    elif axis == "Z":
+        flat = (cos, -sin, zero, sin, cos, zero, zero, zero, one)
+    else:
+        raise ValueError("letter must be either X, Y or Z.")
+    return jnp.stack(flat, -1).reshape(angle.shape + (3, 3))
+
+
+def _check_convention(convention: str):
+    if len(convention) != 3:
+        raise ValueError("Convention must have 3 letters.")
+    if convention[1] in (convention[0], convention[2]):
+        raise ValueError(f"Invalid convention {convention}.")
+    for letter in convention:
+        if letter not in ("X", "Y", "Z"):
+            raise ValueError(f"Invalid letter {letter} in convention string.")
+
+
+def euler_angles_to_matrix(euler_angles: jnp.ndarray,
+                           convention: str) -> jnp.ndarray:
+    """Euler angles (radians, (..., 3)) -> rotation matrices (..., 3, 3)
+    under an extrinsic XYZ-style convention string."""
+    if euler_angles.ndim == 0 or euler_angles.shape[-1] != 3:
+        raise ValueError("Invalid input euler angles.")
+    _check_convention(convention)
+    ms = [_single_axis_rotation(c, euler_angles[..., i])
+          for i, c in enumerate(convention)]
+    return ms[0] @ ms[1] @ ms[2]
+
+
+def _angle_from_tan(axis: str, other_axis: str, data: jnp.ndarray,
+                    horizontal: bool, tait_bryan: bool) -> jnp.ndarray:
+    """First/third Euler angle from the two matrix entries that are a
+    positive constant times its sine and cosine (rotation3d.py:225-263)."""
+    i1, i2 = {"X": (2, 1), "Y": (0, 2), "Z": (1, 0)}[axis]
+    if horizontal:
+        i2, i1 = i1, i2
+    even = (axis + other_axis) in ("XY", "YZ", "ZX")
+    if horizontal == even:
+        return jnp.arctan2(data[..., i1], data[..., i2])
+    if tait_bryan:
+        return jnp.arctan2(-data[..., i2], data[..., i1])
+    return jnp.arctan2(data[..., i2], -data[..., i1])
+
+
+def matrix_to_euler_angles(matrix: jnp.ndarray,
+                           convention: str) -> jnp.ndarray:
+    """Rotation matrices (..., 3, 3) -> Euler angles (..., 3)."""
+    _check_convention(convention)
+    if matrix.shape[-1] != 3 or matrix.shape[-2] != 3:
+        raise ValueError(f"Invalid rotation matrix shape {matrix.shape}.")
+    idx = {"X": 0, "Y": 1, "Z": 2}
+    i0, i2 = idx[convention[0]], idx[convention[2]]
+    tait_bryan = i0 != i2
+    if tait_bryan:
+        central = jnp.arcsin(
+            matrix[..., i0, i2] * (-1.0 if i0 - i2 in (-1, 2) else 1.0))
+    else:
+        central = jnp.arccos(matrix[..., i0, i0])
+    return jnp.stack([
+        _angle_from_tan(convention[0], convention[1],
+                        matrix[..., i2], False, tait_bryan),
+        central,
+        _angle_from_tan(convention[2], convention[1],
+                        matrix[..., i0, :], True, tait_bryan),
+    ], -1)
+
+
+def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """Zhou et al. 6D rotation representation -> matrix via Gram-Schmidt
+    (rotation3d.py:556-578)."""
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    b2 = a2 - jnp.sum(b1 * a2, -1, keepdims=True) * b1
+    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-12)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack((b1, b2, b3), axis=-2)
+
+
+def matrix_to_rotation_6d(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Matrix -> 6D representation: the first two rows (rotation3d.py:580)."""
+    return matrix[..., :2, :].reshape(matrix.shape[:-2] + (6,))

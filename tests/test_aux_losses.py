@@ -54,7 +54,7 @@ def test_bond_loss_flags_broken_chain(rng):
     broken14 = atom14.at[:, 4].add(30.0)
     bad = AL.between_residue_bond_loss(broken14, atom14_mask, res_idx, aatype)
     assert float(np.asarray(bad["c_n_loss_mean"]).mean()) > float(np.asarray(ok["c_n_loss_mean"]).mean()) + 1.0
-    assert float(bad["per_residue_violation"].sum()) >= 1.0
+    assert float(bad["per_residue_violation_mask"].sum()) >= 1.0
 
 
 def test_clash_loss_detects_overlap(rng):
@@ -66,11 +66,13 @@ def test_clash_loss_detects_overlap(rng):
         jnp.arange(N, dtype=jnp.float32)[None, :, None] * jnp.asarray([20.0, 0, 0]))
     mask = jnp.zeros((B, N, 14)).at[:, :, 1].set(1.0)
     res_idx = jnp.tile(jnp.arange(N), (B, 1))
-    far = AL.between_residue_clash_loss(pos, mask, aatype, res_idx)
+    radius = AL.atom14_radius(aatype, mask)
+    far = AL.between_residue_clash_loss(pos, mask, radius, res_idx)
     collided = pos.at[:, 3, 1, :].set(pos[:, 0, 1, :] + 0.2)
-    near = AL.between_residue_clash_loss(collided, mask, aatype, res_idx)
+    near = AL.between_residue_clash_loss(collided, mask, radius, res_idx)
     assert float(near["mean_loss"].mean()) > float(far["mean_loss"].mean())
-    assert float(near["per_atom_clash"].sum()) > 0
+    assert float(near["per_atom_loss_sum"].sum()) > 0
+    assert float(near["per_atom_clash_mask"].sum()) > 0
 
 
 def test_supervised_torsion_loss_periodic(rng):
@@ -119,24 +121,21 @@ def test_bond_loss_angle_terms_match_reference(rng):
     atom14_mask = F.make_atom14_masks(aatype)["atom14_atom_exists"]
     res_idx = jnp.tile(jnp.arange(N), (B, 1))
 
-    got = AL.between_residue_bond_loss(atom14, atom14_mask, res_idx, aatype)
-    want = ref.between_residue_bond_loss(
-        torch.tensor(np.asarray(atom14, np.float32)),
-        torch.tensor(np.asarray(atom14_mask, np.float32)),
-        torch.tensor(np.asarray(res_idx, np.float32)),
-        torch.tensor(np.asarray(aatype)),
-        tolerance_factor_soft=0.0, tolerance_factor_hard=12.0)
-    np.testing.assert_allclose(
-        np.asarray(got["c_n_loss_mean"]),
-        want["c_n_loss_mean"].numpy(), atol=2e-3, rtol=1e-3)
-    np.testing.assert_allclose(
-        np.asarray(got["angles_loss_mean"]),
-        (want["ca_c_n_loss_mean"] + want["c_n_ca_loss_mean"]).numpy(),
-        atol=2e-3, rtol=1e-3)
-    # Ideal backbone geometry must not be flagged as violating: rebuild an
-    # ideally-bonded dipeptide (trans peptide plane) and check zero
-    # violations on the repo path too.
-    assert np.isfinite(np.asarray(got["per_residue_violation"])).all()
+    for tol_soft in (0.0, 12.0):
+        got = AL.between_residue_bond_loss(
+            atom14, atom14_mask, res_idx, aatype,
+            tolerance_factor_soft=tol_soft, tolerance_factor_hard=12.0)
+        want = ref.between_residue_bond_loss(
+            torch.tensor(np.asarray(atom14, np.float32)),
+            torch.tensor(np.asarray(atom14_mask, np.float32)),
+            torch.tensor(np.asarray(res_idx, np.float32)),
+            torch.tensor(np.asarray(aatype)),
+            tolerance_factor_soft=tol_soft, tolerance_factor_hard=12.0)
+        for k in ("c_n_loss_mean", "ca_c_n_loss_mean", "c_n_ca_loss_mean",
+                  "per_residue_loss_sum", "per_residue_violation_mask"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k].numpy(), atol=2e-3, rtol=1e-3,
+                err_msg=f"{k} @ tol_soft={tol_soft}")
 
 
 def test_lddt_matches_reference(rng):
@@ -271,3 +270,200 @@ def test_extreme_ca_ca_matches_reference(rng):
         jnp.asarray(pos), jnp.asarray(mask), jnp.asarray(ridx)))
     # the reference's masked_mean uses a larger eps in the denominator
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def _torch(x):
+    import torch
+    return torch.tensor(np.asarray(x))
+
+
+@pytest.mark.parity
+def test_clash_loss_matches_reference(rng):
+    """between_residue_clash_loss == reference loss.py:873 on all keys."""
+    from conftest import load_reference_module
+    import torch
+    ref = load_reference_module("src/models/loss.py", "ref_loss_clash")
+
+    B, N = 2, 8
+    aatype = jnp.asarray(rng.randint(0, 20, (B, N)), jnp.int32)
+    from str2str_tpu.geometry import frames as F
+    mask = F.make_atom14_masks(aatype)["atom14_atom_exists"].astype(jnp.float32)
+    pos = jnp.asarray(rng.randn(B, N, 14, 3) * 2.0
+                      + np.arange(N)[None, :, None, None] * 2.5, jnp.float32)
+    res_idx = jnp.tile(jnp.arange(N, dtype=jnp.float32), (B, 1))
+    radius = AL.atom14_radius(aatype, mask)
+
+    got = AL.between_residue_clash_loss(pos, mask, radius, res_idx)
+    want = ref.between_residue_clash_loss(
+        _torch(pos), _torch(mask), _torch(radius), _torch(res_idx).long())
+    for k in ("mean_loss", "per_atom_loss_sum", "per_atom_clash_mask"):
+        np.testing.assert_allclose(np.asarray(got[k]), want[k].numpy(),
+                                   atol=1e-4, rtol=1e-4, err_msg=k)
+
+
+@pytest.mark.parity
+def test_find_structural_violations_matches_reference(rng, monkeypatch):
+    """find_structural_violations + compute_violation_metrics +
+    violation_loss == reference loss.py:1107/1274/1333. The reference's
+    within-residue bounds read stereo_chemical_props.txt (absent from its
+    checkout, residue_constants.py:406-409) — patch its loader to the empty
+    bond set so both sides use the identical vdW-only bounds."""
+    from conftest import load_reference_module
+    import torch
+    ref = load_reference_module("src/models/loss.py", "ref_loss_viol")
+    ref_rc = load_reference_module("src/common/residue_constants.py", "ref_rc_viol")
+    empty = {name: [] for name in ref_rc.restype_name_to_atom14_names}
+    monkeypatch.setattr(ref.residue_constants, "load_stereo_chemical_props",
+                        lambda: (empty, empty, empty))
+
+    from str2str_tpu.geometry import frames as F
+    from str2str_tpu.geometry import rotations as R
+    from str2str_tpu.geometry.rigid import Rigid
+
+    B, N = 1, 10
+    rotvec = np.cumsum(rng.randn(B, N, 3) * 0.2, axis=1).astype(np.float32)
+    trans = np.cumsum(rng.randn(B, N, 3) + np.asarray([3.8, 0, 0]), axis=1).astype(np.float32)
+    aatype = jnp.asarray(rng.randint(0, 20, (B, N)), jnp.int32)
+    psi = jnp.tile(jnp.asarray([0.0, 1.0]), (B, N, 1))
+    _, _, atom14 = F.compute_backbone(
+        Rigid(R.axis_angle_to_matrix(jnp.asarray(rotvec)), jnp.asarray(trans)),
+        psi, aatype)
+    # bend one residue in to create clashes
+    atom14 = atom14.at[:, 5].set(atom14[:, 2] + 0.3)
+    mask14 = F.make_atom14_masks(aatype)["atom14_atom_exists"].astype(jnp.float32)
+    res_idx = jnp.tile(jnp.arange(N, dtype=jnp.float32), (B, 1))
+    batch = {"atom14_atom_exists": mask14, "residue_index": res_idx,
+             "aatype": aatype, "seq_mask": jnp.ones((B, N), jnp.float32)}
+
+    got_v = AL.find_structural_violations(batch, atom14)
+
+    # The reference path is unbatched (N, 14, ...); run per example.
+    tb = {"atom14_atom_exists": _torch(mask14)[0],
+          "residue_index": _torch(res_idx)[0].long(),
+          "aatype": _torch(np.asarray(aatype, np.int64))[0],
+          "seq_mask": _torch(np.ones((N,), np.float32)),
+          "residx_atom14_to_atom37": _torch(np.asarray(
+              F.make_atom14_masks(aatype)["residx_atom14_to_atom37"]))[0]}
+    want_v = ref.find_structural_violations(
+        tb, _torch(atom14)[0], violation_tolerance_factor=12.0,
+        clash_overlap_tolerance=1.5)
+
+    def cmp(a, b, name):
+        np.testing.assert_allclose(np.asarray(a)[0], b.numpy(),
+                                   atol=5e-3, rtol=1e-3, err_msg=name)
+
+    for grp in ("between_residues", "within_residues"):
+        for k in got_v[grp]:
+            cmp(got_v[grp][k], want_v[grp][k], f"{grp}/{k}")
+    cmp(got_v["total_per_residue_violations_mask"],
+        want_v["total_per_residue_violations_mask"], "total_mask")
+
+    got_m = AL.compute_violation_metrics(batch, atom14, got_v)
+    want_m = ref.compute_violation_metrics(tb, _torch(atom14)[0], want_v)
+    for k in want_m:
+        cmp(got_m[k], want_m[k], k)
+
+    got_l = AL.violation_loss(got_v, mask14)
+    want_l = ref.violation_loss(want_v, tb["atom14_atom_exists"])
+    np.testing.assert_allclose(np.asarray(got_l)[0], float(want_l),
+                               atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_fape_backbone_sidechain_loss_match_reference(rng):
+    """backbone_loss (traj), sidechain_loss and the fape_loss wrapper vs
+    reference loss.py:154/212/262."""
+    from conftest import load_reference_module
+    import torch
+    ref = load_reference_module("src/models/loss.py", "ref_loss_fape")
+    from str2str_tpu.geometry import frames as F
+    from str2str_tpu.geometry import rotations as R
+    from str2str_tpu.geometry.rigid import Rigid
+
+    B, N, T = 2, 8, 3
+    def rigid7(key_shift):
+        rotvec = np.cumsum(rng.randn(B, N, 3) * 0.2, axis=1).astype(np.float32)
+        trans = (np.cumsum(rng.randn(B, N, 3) + np.asarray([3.8, 0, 0]),
+                           axis=1).astype(np.float32) + key_shift)
+        return Rigid(R.axis_angle_to_matrix(jnp.asarray(rotvec)),
+                     jnp.asarray(trans))
+
+    gt = rigid7(0.0)
+    aatype = jnp.asarray(rng.randint(0, 20, (B, N)), jnp.int32)
+    psi = jnp.tile(jnp.asarray([0.0, 1.0]), (B, N, 1))
+    atom37, mask37, atom14 = F.compute_backbone(gt, psi, aatype)
+    fr = F.atom37_to_frames(aatype, atom37, mask37.astype(jnp.float32))
+    mask = jnp.ones((B, N), jnp.float32)
+
+    traj = jnp.stack([rigid7(0.3 * t).to_tensor_7() for t in range(T)])
+    gt4x4 = np.asarray(fr["rigidgroups_gt_frames"])[..., 0, :, :]
+
+    got_bb = AL.backbone_loss(jnp.asarray(gt4x4), mask, traj)
+    want_bb = ref.backbone_loss(_torch(gt4x4), _torch(mask), _torch(traj))
+    # reference returns the mean over traj of per-traj means
+    np.testing.assert_allclose(float(np.mean(np.asarray(got_bb))),
+                               float(want_bb), atol=1e-4, rtol=1e-4)
+
+    # sidechain: predicted = gt frames with noise, positions = atom14 + noise
+    masks14 = F.make_atom14_masks(aatype)
+    a14 = F.make_atom14_positions(aatype, atom37, mask37.astype(jnp.float32))
+    sc_frames = jnp.tile(jnp.asarray(fr["rigidgroups_gt_frames"])[None],
+                         (T, 1, 1, 1, 1, 1))
+    sc_pos = (jnp.tile(atom14[None], (T, 1, 1, 1, 1))
+              + jnp.asarray(rng.randn(T, B, N, 14, 3) * 0.2, jnp.float32))
+    alt_better = jnp.asarray(rng.randint(0, 2, (B, N)), jnp.float32)
+
+    kwargs = dict(
+        rigidgroups_gt_frames=jnp.asarray(fr["rigidgroups_gt_frames"]),
+        rigidgroups_alt_gt_frames=jnp.asarray(fr["rigidgroups_alt_gt_frames"]),
+        rigidgroups_gt_exists=jnp.asarray(fr["rigidgroups_gt_exists"], jnp.float32),
+        renamed_atom14_gt_positions=jnp.asarray(a14["atom14_gt_positions"]),
+        renamed_atom14_gt_exists=jnp.asarray(a14["atom14_gt_exists"], jnp.float32),
+        alt_naming_is_better=alt_better)
+    got_sc = AL.sidechain_loss(sc_frames, sc_pos, **kwargs)
+    want_sc = ref.sidechain_loss(
+        _torch(sc_frames), _torch(sc_pos),
+        **{k: _torch(v) for k, v in kwargs.items()})
+    np.testing.assert_allclose(np.asarray(got_sc), want_sc.numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+    got_fape = AL.fape_loss(
+        {"sm": {"frames": traj, "sidechain_frames": sc_frames,
+                "positions": sc_pos}},
+        {"backbone_rigid_tensor": jnp.asarray(gt4x4),
+         "backbone_rigid_mask": mask, **kwargs})
+    assert np.isfinite(float(got_fape))
+
+
+@pytest.mark.parity
+def test_masked_msa_and_resolved_losses_match_reference(rng):
+    from conftest import load_reference_module
+    import torch
+    ref = load_reference_module("src/models/loss.py", "ref_loss_msa")
+
+    S, N = 4, 12
+    logits = rng.randn(S, N, 23).astype(np.float32)
+    true_msa = rng.randint(0, 23, (S, N))
+    bert_mask = (rng.rand(S, N) < 0.3).astype(np.float32)
+    got = AL.masked_msa_loss(jnp.asarray(logits),
+                             jnp.asarray(true_msa), jnp.asarray(bert_mask))
+    want = ref.masked_msa_loss(_torch(logits),
+                               _torch(true_msa).long(), _torch(bert_mask))
+    np.testing.assert_allclose(float(got), float(want), atol=1e-5, rtol=1e-5)
+
+    B = 2
+    rlogits = rng.randn(B, N, 37).astype(np.float32)
+    exists = (rng.rand(B, N, 37) < 0.8).astype(np.float32)
+    all_mask = (rng.rand(B, N, 37) < 0.7).astype(np.float32)
+    resolution = np.asarray([1.5, 5.0], np.float32)  # second gated out
+    got = AL.experimentally_resolved_loss(
+        jnp.asarray(rlogits), jnp.asarray(exists), jnp.asarray(all_mask),
+        jnp.asarray(resolution), min_resolution=0.1, max_resolution=3.0)
+    # the reference path broadcasts only UNBATCHED (N, 37) inputs
+    # (loss.py:1475 divides (B, N) by (B,)); run it per example.
+    wants = [float(ref.experimentally_resolved_loss(
+        _torch(rlogits[i]), _torch(exists[i]), _torch(all_mask[i]),
+        _torch(resolution[i]), min_resolution=0.1, max_resolution=3.0))
+        for i in range(B)]
+    np.testing.assert_allclose(float(got), float(np.mean(wants)),
+                               atol=1e-5, rtol=1e-5)

@@ -88,3 +88,40 @@ def test_parity_with_reference_rotation3d(rng, reference_available):
         r3d.axis_angle_to_matrix(torch.tensor(ref_v)).numpy(),
         atol=1e-4,
     )
+
+
+@pytest.mark.parity
+def test_euler_and_6d_converters_match_reference(rng, reference_available):
+    """euler_angles_to_matrix / matrix_to_euler_angles /
+    rotation_6d_to_matrix / matrix_to_rotation_6d vs the reference
+    rotation3d.py (PyTorch3D converter surface)."""
+    if not reference_available:
+        pytest.skip("no reference checkout")
+    import torch
+    from tests.conftest import load_reference_module
+    ref = load_reference_module("src/common/rotation3d.py", "ref_rot3d_eul")
+
+    angles = (rng.rand(4, 5, 3).astype(np.float32) - 0.5) * 2.0
+    for conv in ("XYZ", "ZYX", "ZXZ", "YXY"):
+        got = np.asarray(R.euler_angles_to_matrix(jnp.asarray(angles), conv))
+        want = ref.euler_angles_to_matrix(torch.tensor(angles), conv).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=conv)
+
+        back = np.asarray(R.matrix_to_euler_angles(jnp.asarray(want), conv))
+        want_back = ref.matrix_to_euler_angles(
+            torch.tensor(want), conv).numpy()
+        np.testing.assert_allclose(back, want_back, atol=1e-4, err_msg=conv)
+        # round trip reproduces the rotation
+        again = np.asarray(R.euler_angles_to_matrix(jnp.asarray(back), conv))
+        np.testing.assert_allclose(again, want, atol=1e-4, err_msg=conv)
+
+    d6 = rng.randn(6, 6).astype(np.float32)
+    got = np.asarray(R.rotation_6d_to_matrix(jnp.asarray(d6)))
+    want = ref.rotation_6d_to_matrix(torch.tensor(d6)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    got6 = np.asarray(R.matrix_to_rotation_6d(jnp.asarray(want)))
+    want6 = ref.matrix_to_rotation_6d(torch.tensor(want)).numpy()
+    np.testing.assert_allclose(got6, want6, atol=1e-6)
+    # orthonormality of the reconstruction
+    eye = np.einsum("bij,bkj->bik", got, got)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (6, 1, 1)), atol=1e-5)

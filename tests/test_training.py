@@ -635,3 +635,43 @@ def test_limit_and_overfit_batches(tmp_path, rng):
     t3.fit(params, marked, None)
     assert counts == {"train": 4, "val": 4}       # 2 batches x 2 epochs, both loops
     assert set(seen_val) == {0, 1}                # val ran on the overfit subset
+
+
+def test_random_crop_matches_reference_semantics(fixture_pdb_bpti):
+    """Train-time random crop (featurize truncate_length) reproduces the
+    reference's random_truncate semantics (reference dataset.py:94-103):
+    contiguous window of exactly max_len residues, uniform random start in
+    [0, L - max_len], applied AFTER strip_ends, frozen per item (the
+    reference freezes it via its lru_cache(100) on __getitem__,
+    dataset.py:254; here via the per-(seed, idx) RandomState)."""
+    from str2str_tpu.data.featurize import FeaturizeConfig, featurize
+    from str2str_tpu.io import protein as prot_io
+
+    prot = prot_io.from_pdb_string(fixture_pdb_bpti.read_text())
+    L = prot.num_residues
+    max_len = 20
+    cfg = FeaturizeConfig(strip_missing_residues=True,
+                          recenter_and_scale=True, truncate_length=max_len)
+
+    full = featurize(prot, FeaturizeConfig(strip_missing_residues=True,
+                                           recenter_and_scale=False))
+    starts = set()
+    for seed in range(40):
+        rng = np.random.RandomState((seed, 0))
+        f = featurize(prot, cfg, rng)
+        assert f["aatype"].shape[0] == max_len
+        # contiguous window: residue_index matches a slice of the full run
+        start = int(f["residue_index"][0] - full["residue_index"][0])
+        starts.add(start)
+        assert 0 <= start <= L - max_len
+        np.testing.assert_array_equal(
+            f["aatype"], full["aatype"][start:start + max_len])
+        np.testing.assert_array_equal(
+            f["residue_index"], full["residue_index"][start:start + max_len])
+        # deterministic per (seed, idx): same rng -> same crop
+        f2 = featurize(prot, cfg, np.random.RandomState((seed, 0)))
+        np.testing.assert_array_equal(f["aatype"], f2["aatype"])
+    # the start distribution spans the valid range (not stuck at one side)
+    assert min(starts) < (L - max_len) * 0.25
+    assert max(starts) > (L - max_len) * 0.75
+    assert len(starts) > 10
