@@ -80,41 +80,10 @@ def run(cfg) -> str:
     all_delta_dir = output_dir / "all_delta"
     all_delta_dir.mkdir(parents=True, exist_ok=True)
 
-    params = None
-    key = jax.random.PRNGKey(cfg.get("seed", 0) or 0)
-    for i in range(len(ds)):
-        prot = ds._load(i)
-        code = ds.accession_code(i)
-        feats = featurize_padded(prot, feat_cfg,
-                                 bucket=pick_bucket(prot.num_residues,
-                                                    cfg.data.get("buckets", (64, 128, 256, 384, 512))))
-        if params is None:
-            params = load_params(cfg, net, example_net_batch(feats))
-            n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
-            log.info(f"params loaded: {n / 1e6:.2f}M "
-                     f"({'checkpoint' if cfg.get('ckpt_path') else 'random init'})")
-
-        t0 = time.time()
-        if profile_dir and i == 0:
-            jax.profiler.start_trace(str(profile_dir))
-        if bool(cfg.model.inference.get("chained", False)):
-            # One compiled program for the whole delta grid (the per-delta
-            # path compiles one program per distinct step count).
-            ensembles = sampler.sample_ensemble_chained(
-                params, jax.random.fold_in(key, i), feats)
-        else:
-            ensembles = sampler.sample_ensemble(
-                params, jax.random.fold_in(key, i), feats,
-                batch_deltas_together=bool(cfg.model.inference.get(
-                    "batch_deltas_together", False)))
-        if profile_dir and i == 0:
-            jax.profiler.stop_trace()
-            log.info(f"profiler trace written to {profile_dir}")
+    def write_target(code, feats, ensembles, dt_s):
         n_conf = sum(v.shape[0] for v in ensembles.values())
-        dt_s = time.time() - t0
         log.info(f"[{code}] {n_conf} conformations in {dt_s:.1f}s "
                  f"({n_conf / dt_s:.2f} conf/s) at L_pad={feats['aatype'].shape[0]}")
-
         # Write per-delta PDBs + merged ensemble (unpadded region only).
         # Use the FEATURIZED length, not the raw protein's: strip_ends /
         # truncate_length may have shrunk the sequence, and writing
@@ -132,6 +101,64 @@ def run(cfg) -> str:
         merged = all_delta_dir / f"{code}.pdb"
         pdb_io.merge_pdbfiles(saved, str(merged))
         log.info(f"[{code}] wrote {merged}")
+
+    # Featurize everything up front so same-bucket targets can share
+    # device batches (the reference samples strictly one protein at a
+    # time: predict_step asserts batch_size==1, diffusion_module.py:249).
+    buckets = cfg.data.get("buckets", (64, 128, 256, 384, 512))
+    entries = []
+    for i in range(len(ds)):
+        prot = ds._load(i)
+        feats = featurize_padded(prot, feat_cfg,
+                                 bucket=pick_bucket(prot.num_residues, buckets))
+        entries.append((ds.accession_code(i), feats))
+
+    params = None
+    if entries:
+        params = load_params(cfg, net, example_net_batch(entries[0][1]))
+        n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+        log.info(f"params loaded: {n / 1e6:.2f}M "
+                 f"({'checkpoint' if cfg.get('ckpt_path') else 'random init'})")
+
+    key = jax.random.PRNGKey(cfg.get("seed", 0) or 0)
+    chained = bool(cfg.model.inference.get("chained", False))
+    pack = chained and bool(cfg.model.inference.get("pack_targets", True))
+
+    if profile_dir:
+        jax.profiler.start_trace(str(profile_dir))
+    if pack:
+        # Group targets by padded length; each group is sampled through
+        # shared batches (one compiled program per bucket).
+        groups: dict = {}
+        for i, (code, feats) in enumerate(entries):
+            groups.setdefault(feats["aatype"].shape[0], []).append(i)
+        for gi, (L_pad, idxs) in enumerate(sorted(groups.items())):
+            t0 = time.time()
+            ens_list = sampler.sample_ensemble_multi(
+                params, jax.random.fold_in(key, 10_000 + gi),
+                [entries[i][1] for i in idxs])
+            dt_s = time.time() - t0
+            log.info(f"bucket L={L_pad}: {len(idxs)} targets in {dt_s:.1f}s")
+            for i, ens in zip(idxs, ens_list):
+                write_target(entries[i][0], entries[i][1], ens,
+                             dt_s / len(idxs))
+    else:
+        for i, (code, feats) in enumerate(entries):
+            t0 = time.time()
+            if chained:
+                # One compiled program for the whole delta grid (the
+                # per-delta path compiles one per distinct step count).
+                ensembles = sampler.sample_ensemble_chained(
+                    params, jax.random.fold_in(key, i), feats)
+            else:
+                ensembles = sampler.sample_ensemble(
+                    params, jax.random.fold_in(key, i), feats,
+                    batch_deltas_together=bool(cfg.model.inference.get(
+                        "batch_deltas_together", False)))
+            write_target(code, feats, ensembles, time.time() - t0)
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log.info(f"profiler trace written to {profile_dir}")
     return str(all_delta_dir)
 
 

@@ -426,6 +426,92 @@ class Sampler:
         return results
 
     # ------------------------------------------------------------------
+    def sample_ensemble_multi(self, params, key: jax.Array,
+                              feats_list,
+                              deltas: Optional[np.ndarray] = None,
+                              n_replica: Optional[int] = None):
+        """Batched MULTI-TARGET sampling: pack replicas of several
+        same-bucket targets into shared device batches.
+
+        The reference samples one protein at a time (`predict_step` asserts
+        batch_size==1, diffusion_module.py:249) and loops replicas in Python
+        chunks; here the batch axis is a global pool of row-chains — each
+        row belongs to one target and anneals the full delta grid
+        `repeats` times (chained schedule, identical per-target NFE to
+        `sample_ensemble_chained`). Rows from different targets share
+        batches, so a 13-target eval is one compiled program with the batch
+        (and any `data` mesh axis) always full; the final partial chunk is
+        padded by cycling rows from the start and padded outputs discarded.
+
+        feats_list: featurized targets, all padded to the SAME bucket.
+        Returns a list of {delta: atom37 (n_replica, L, 37, 3)}, one per
+        target, in input order.
+        """
+        cfg = self.cfg
+        deltas = cfg.delta_range() if deltas is None else np.asarray(deltas)
+        n_replica = n_replica or cfg.n_replica
+        if cfg.backward_only:
+            n_replica = n_replica * len(deltas)
+            deltas = np.asarray([1.0])
+        K = len(feats_list)
+        L = feats_list[0]["aatype"].shape[0]
+        for f in feats_list[1:]:
+            if f["aatype"].shape[0] != L:
+                raise ValueError("all targets must share one length bucket")
+
+        B = min(cfg.replica_per_batch, n_replica * K)
+        # Same chain depth a single-target run would use, so per-target NFE
+        # and segment count match sample_ensemble_chained exactly.
+        repeats = -(-n_replica // min(cfg.replica_per_batch, n_replica))
+        rows_per_target = -(-n_replica // repeats)
+        row_targets = np.repeat(np.arange(K), rows_per_target)
+        n_rows = len(row_targets)
+        pad = (-n_rows) % B
+        if pad:  # cycle rows so padded chains still anneal real targets
+            row_targets = np.concatenate([row_targets, row_targets[:pad]])
+
+        sched, n_slots = build_chained_schedule(
+            deltas, repeats, cfg.num_timesteps, cfg.min_t)
+        sched_dev = tuple(jnp.asarray(sched[k])
+                          for k in ("ts", "dt", "init", "final",
+                                    "slot", "local"))
+        bsh = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            bsh = NamedSharding(self.mesh, P("data"))
+
+        D = len(deltas)
+        per_target = [[[] for _ in range(D)] for _ in range(K)]
+        import time as _time
+        for ci, lo in enumerate(range(0, len(row_targets), B)):
+            chunk = row_targets[lo:lo + B]
+            batch = {k: jnp.asarray(np.stack([feats_list[t][k] for t in chunk]))
+                     for k, v in feats_list[0].items()
+                     if isinstance(v, np.ndarray)}
+            if bsh is not None:
+                batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+            _t0 = _time.perf_counter()
+            out = self.run_chained(params, jax.random.fold_in(key, ci),
+                                   batch, n_slots, *sched_dev)
+            atom37 = np.asarray(out["atom37"])  # (S, B, L, 37, 3)
+            _log.debug("multi chunk %d: %d targets x rows, B=%d T=%d: %.2fs",
+                       ci, len(np.unique(chunk)), B, sched["ts"].shape[0],
+                       _time.perf_counter() - _t0)
+            live = len(chunk) if lo + B <= n_rows else n_rows - lo
+            for j in range(live):
+                t = int(chunk[j])
+                for di in range(D):
+                    for r in range(repeats):
+                        per_target[t][di].append(atom37[r * D + di, j])
+
+        results = []
+        for t in range(K):
+            results.append({
+                round(float(d), 4): np.stack(per_target[t][di])[:n_replica]
+                for di, d in enumerate(deltas)})
+        return results
+
+    # ------------------------------------------------------------------
     def sample_ensemble(self, params, key: jax.Array,
                         feats_single: Dict[str, np.ndarray],
                         deltas: Optional[np.ndarray] = None,

@@ -71,6 +71,7 @@ def test_sampler_runs_and_is_finite(setup):
     assert mask[:, :10, :3].all()
 
 
+@pytest.mark.slow
 def test_sample_ensemble_groups_deltas(setup):
     prot, feats, net, diffuser, params = setup
     sampler = Sampler(net, diffuser, SamplerConfig(
@@ -155,6 +156,7 @@ def test_chained_ensemble_runs_and_groups(setup):
     assert not np.allclose(out[0.3][0], out[0.4][0])
 
 
+@pytest.mark.slow
 def test_chained_segments_are_independent(setup):
     """A segment's output must depend only on its own (slot, delta) — not on
     anything annealed before it in the chain (catches state/self-conditioning
@@ -182,6 +184,75 @@ def test_chained_segments_are_independent(setup):
     # slot 0's segment differed; slot 0 itself differs.
     np.testing.assert_array_equal(a[1], b[1])
     assert not np.allclose(a[0], b[0])
+
+
+def _translated_feats(feats, offset):
+    """A second 'target': the fixture rigidly translated by `offset` Å."""
+    out = {k: np.array(v) for k, v in feats.items() if isinstance(v, np.ndarray)}
+    m = out["residue_mask"][:, None] > 0
+    out["atom_positions"] = out["atom_positions"] + np.where(
+        out["atom_mask"][..., None] > 0, offset, 0.0)
+    out["rigidgroups_gt_frames"][..., :3, 3] += np.where(
+        out["rigidgroups_gt_exists"][..., None] > 0, offset, 0.0)
+    out["pseudo_beta"] += np.where(out["pseudo_beta_mask"][..., None] > 0,
+                                   offset, 0.0)
+    del m
+    return out
+
+
+@pytest.mark.slow
+def test_multi_target_packs_rows_exactly(setup):
+    """K=2 targets, one full chunk: sample_ensemble_multi must equal a
+    manual run_chained call on the packed [A, A, B, B] batch (pins the
+    row-assignment + slot-unpacking contract bit-exactly)."""
+    from str2str_tpu.sampling.sampler import build_chained_schedule
+
+    prot, feats, net, diffuser, params = setup
+    fa = {k: v for k, v in feats.items() if isinstance(v, np.ndarray)}
+    fb = _translated_feats(feats, 5.0)
+    cfg = SamplerConfig(num_timesteps=20, replica_per_batch=4, n_replica=2,
+                        delta_min=0.3, delta_max=0.4, delta_step=0.1)
+    sampler = Sampler(net, diffuser, cfg)
+    key = jax.random.PRNGKey(21)
+    res = sampler.sample_ensemble_multi(params, key, [fa, fb])
+
+    # Manual equivalent: rows [A, A, B, B], repeats=1, chunk key fold_in(0).
+    sched, n_slots = build_chained_schedule(
+        np.asarray([0.3, 0.4]), 1, 20, cfg.min_t)
+    batch = {k: jnp.asarray(np.stack([fa[k], fa[k], fb[k], fb[k]]))
+             for k in fa}
+    out = sampler.run_chained(
+        params, jax.random.fold_in(key, 0), batch, n_slots,
+        *(jnp.asarray(sched[k])
+          for k in ("ts", "dt", "init", "final", "slot", "local")))
+    atom37 = np.asarray(out["atom37"])  # (2 slots, 4 rows, L, 37, 3)
+    for di, d in enumerate([0.3, 0.4]):
+        np.testing.assert_array_equal(res[0][d], atom37[di, 0:2])
+        np.testing.assert_array_equal(res[1][d], atom37[di, 2:4])
+
+
+@pytest.mark.slow
+def test_multi_target_pads_final_chunk(setup):
+    """K=3 targets with rows spanning two chunks (last chunk padded by
+    cycling): every target still gets exactly n_replica finite
+    conformations per delta, and chunk 2's pad rows are discarded."""
+    prot, feats, net, diffuser, params = setup
+    fa = {k: v for k, v in feats.items() if isinstance(v, np.ndarray)}
+    fb = _translated_feats(feats, 5.0)
+    fc = _translated_feats(feats, -5.0)
+    cfg = SamplerConfig(num_timesteps=20, replica_per_batch=4, n_replica=2,
+                        delta_min=0.3, delta_max=0.3, delta_step=0.1)
+    sampler = Sampler(net, diffuser, cfg)
+    res = sampler.sample_ensemble_multi(
+        params, jax.random.PRNGKey(22), [fa, fb, fc])
+    assert len(res) == 3
+    for ens in res:
+        assert set(ens.keys()) == {0.3}
+        assert ens[0.3].shape == (2, 16, 37, 3)
+        assert np.isfinite(ens[0.3]).all()
+    # Distinct targets: ensembles are not copies of one another.
+    assert not np.allclose(res[0][0.3], res[1][0.3])
+    assert not np.allclose(res[1][0.3], res[2][0.3])
 
 
 def test_chained_determinism(setup):
