@@ -379,8 +379,11 @@ def between_residue_clash_loss(atom14_pred_positions: jnp.ndarray,
     dists_to_low_error = dists_mask * jax.nn.relu(
         dists_lower_bound - overlap_tolerance_soft - dists)
 
-    mean_loss = (jnp.sum(dists_to_low_error, axis=(-4, -3, -2, -1))
-                 / (1e-6 + jnp.sum(dists_mask, axis=(-4, -3, -2, -1))))
+    # Global scalar, NOT per-batch: the reference reduces over every dim
+    # including batch (loss.py:992 `torch.sum(dists_to_low_error) /
+    # (1e-6 + torch.sum(dists_mask))`).
+    mean_loss = (jnp.sum(dists_to_low_error)
+                 / (1e-6 + jnp.sum(dists_mask)))
     per_atom_loss_sum = (jnp.sum(dists_to_low_error, axis=(-4, -2))
                          + jnp.sum(dists_to_low_error, axis=(-3, -1)))
     clash_mask = dists_mask * (
