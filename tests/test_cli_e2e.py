@@ -26,6 +26,7 @@ def test_config_composition_and_overrides():
     assert cfg2.model.net.node_embed_size == 256
 
 
+@pytest.mark.slow
 def test_sample_cli_end_to_end(tmp_path, fixture_pdb):
     from str2str_tpu.cli.sample import main as sample_main
     from str2str_tpu.io import protein as prot_io
@@ -298,6 +299,7 @@ def test_tpe_sampler_categorical():
     assert late.count("4") >= 12, late
 
 
+@pytest.mark.slow
 def test_trained_checkpoint_fixture_samples(tmp_path, fixture_pdb):
     """The committed trained checkpoint (checkpoints/trained_r3.npz, best
     val/loss 3.11 at epoch 389 of the round-3 training run on the 13

@@ -44,6 +44,7 @@ def test_atom37_to_frames_recovers_backbone_frame(rng):
     np.testing.assert_allclose(rtr, np.tile(np.eye(3), (len(aatype), 1, 1)), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_frames_to_atoms_roundtrip(rng):
     """atom37 -> frames+torsions -> atoms reproduces the backbone positions."""
     aatype, pos37, mask37 = _random_protein(rng)
@@ -63,6 +64,7 @@ def test_frames_to_atoms_roundtrip(rng):
 
 
 @pytest.mark.parity
+@pytest.mark.slow
 def test_parity_with_reference_transforms(rng, reference_available):
     if not reference_available:
         pytest.skip("no reference checkout")

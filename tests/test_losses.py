@@ -129,6 +129,7 @@ def test_loss_parity_with_reference(rng, reference_available):
     np.testing.assert_allclose(float(my_total), float(ref_total), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_gated_extra_losses(rng):
     """Reference config-gated extras (loss.py:1674-1701): enabling
     distogram/supervised_chi/lddt/tm computes finite, weighted terms when

@@ -27,6 +27,7 @@ def make_batch(rng, B=2, L=16, with_padding=False):
     return batch
 
 
+@pytest.mark.slow
 def test_network_smoke_and_shapes(rng):
     net = ScoreNetwork(NetworkConfig())
     batch = {k: jnp.asarray(v) for k, v in make_batch(rng).items()}
@@ -41,6 +42,7 @@ def test_network_smoke_and_shapes(rng):
         np.linalg.norm(np.asarray(out["quat"]), axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_network_padding_invariance(rng):
     """Padded positions must not influence real residues' outputs."""
     net = ScoreNetwork(NetworkConfig())
@@ -60,6 +62,7 @@ def test_network_padding_invariance(rng):
 
 
 @pytest.mark.parity
+@pytest.mark.slow
 def test_network_parity_with_reference(rng, reference_available):
     """Golden test: random-initialized reference torch net, weights converted
     to flax, outputs must match on the same input."""

@@ -77,6 +77,7 @@ def test_edge_transition_layer_matches_between_paths(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_ipa_attention_kernel_matches_reference(rng):
     from str2str_tpu.ops import ipa_attention as IA
 
@@ -107,6 +108,7 @@ def test_ipa_attention_kernel_matches_reference(rng):
                                    atol=2e-5, rtol=1e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_ipa_module_paths_match(rng):
     """InvariantPointAttention with use_pallas on (interpreted) == off,
     for real (unmasked) rows."""
@@ -153,6 +155,7 @@ def _interpret_ctx():
     return mock.patch.object(pl, "pallas_call", fake_call)
 
 
+@pytest.mark.slow
 def test_edge_transition_grads_match_between_paths(rng):
     """Training through the fused edge kernel: custom_vjp grads == XLA-path
     grads (the backward differentiates the identical reference math)."""
@@ -176,6 +179,7 @@ def test_edge_transition_grads_match_between_paths(rng):
                                    atol=3e-4, rtol=3e-4)
 
 
+@pytest.mark.slow
 def test_ipa_grads_match_between_paths(rng):
     """Training through the fused IPA kernel: custom_vjp grads == XLA-path
     grads."""
@@ -234,6 +238,7 @@ def test_ipa_grads_bf16_mixed_inputs(rng):
     assert np.isfinite(np.asarray(g, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_ipa_backward_kernel_matches_oracle_grads(rng):
     """The hand-written Pallas backward kernel (recompute-softmax, fp32
     accumulators) must reproduce the XLA oracle's gradients for every
@@ -275,6 +280,7 @@ def test_ipa_backward_kernel_matches_oracle_grads(rng):
                                    err_msg=f"grad argnum {i}")
 
 
+@pytest.mark.slow
 def test_edge_mlp_backward_kernel_matches_oracle_grads(rng):
     from str2str_tpu.ops import edge_mlp as EM
 
@@ -341,6 +347,7 @@ def test_edge_mlp_bwd_vmem_fallback_matches_reference(rng, monkeypatch):
                                    err_msg=f"grad argnum {i}")
 
 
+@pytest.mark.slow
 def test_edge_mlp_proj_only_matches_oracle(rng):
     """The proj-only variant (last EdgeTransition: dead z' write skipped)
     must match the oracle's proj output and grads."""
@@ -382,6 +389,7 @@ def test_edge_mlp_proj_only_matches_oracle(rng):
                                    err_msg=f"grad argnum {i}")
 
 
+@pytest.mark.slow
 def test_edge_embed_backward_kernel_matches_oracle_grads(rng):
     from str2str_tpu.ops import edge_embed as EE
 
@@ -425,6 +433,7 @@ def test_edge_embed_backward_kernel_matches_oracle_grads(rng):
                                    err_msg=f"grad argnum {i}")
 
 
+@pytest.mark.slow
 def test_trunk_mega_fusion_matches_xla_paths(rng):
     """Edge-stack mega-fusion (EdgeTransition kernel emits the next block's
     fused z projection; attention consumes it without reading z): trunk
@@ -483,6 +492,7 @@ def test_trunk_mega_fusion_matches_xla_paths(rng):
             err_msg=jax.tree_util.keystr(k1))
 
 
+@pytest.mark.slow
 def test_network_mega_fusion_matches_xla_paths(rng):
     """Full ScoreNetwork with ALL kernels on (interpreted), including the
     block-0 embedder-proj mega-fusion, must match the XLA-path network on
@@ -587,6 +597,7 @@ def test_edge_mlp_kernel_rectangular_matches_reference(rng):
                                    err_msg=f"grad argnum {i}")
 
 
+@pytest.mark.slow
 def test_seq_sharded_trunk_kernel_path_matches_xla(rng):
     """The sequence-sharded EdgeTransition with the Pallas kernel forced on
     (interpreted) must match the XLA path on the same column shard."""

@@ -15,6 +15,8 @@ from jax.sharding import Mesh
 
 from str2str_tpu.model.network import NetworkConfig, ScoreNetwork
 
+pytestmark = pytest.mark.slow
+
 
 def _small_cfg(**kw):
     return NetworkConfig(

@@ -15,6 +15,8 @@ from str2str_tpu.model.network import NetworkConfig, ScoreNetwork
 from str2str_tpu.parallel.mesh import make_mesh
 from str2str_tpu.sampling.sampler import Sampler, SamplerConfig
 
+pytestmark = pytest.mark.slow
+
 
 def test_sharded_sampling_matches_unsharded(fixture_pdb):
     if len(jax.devices()) < 2:

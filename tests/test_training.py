@@ -97,6 +97,7 @@ def test_loss_decreases_on_overfit(rng):
     assert last < 0.8 * first, (first, last)
 
 
+@pytest.mark.slow
 def test_multi_device_step_matches_single(rng):
     """The sharded step must produce the same grads/update as unsharded."""
     n_dev = len(jax.devices())
@@ -123,6 +124,7 @@ def test_multi_device_step_matches_single(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_seq_sharded_train_step_matches_single(rng):
     """2-D (data, seq) mesh training: one train step with the score network
     running sequence-sharded inside shard_map (TrainConfig.seq_devices)
@@ -155,6 +157,7 @@ def test_seq_sharded_train_step_matches_single(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_lr_plateau_setter():
     net, trainer = _tiny_setup()
     rng = np.random.RandomState(0)
@@ -177,6 +180,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert C.latest_checkpoint(str(tmp_path)) == str(tmp_path / "step_7")
 
 
+@pytest.mark.slow
 def test_grads_finite_at_identity_prediction(rng):
     """Regression: at step 1 the zero-init update head predicts exactly the
     input rotation; the relative-quaternion score path must still have finite
@@ -198,6 +202,7 @@ def test_grads_finite_at_identity_prediction(rng):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+@pytest.mark.slow
 def test_resume_restores_schedule_and_continues(tmp_path, rng):
     """Kill a run after 2 epochs, resume: epoch/step/LR/plateau state must
     carry over (trainer.fit resume path, incl. the namedtuple-safe orbax
@@ -313,6 +318,7 @@ def test_gradient_accumulation_matches_big_batch(rng):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_prefetch_loader_matches_inline(rng, fixture_pdb):
     """num_workers > 0 must yield byte-identical batches to the inline path
     (submission-order consumption; featurization is pure per index)."""
@@ -370,6 +376,7 @@ def test_seq_embedding_sidecar(tmp_path, fixture_pdb, rng):
     assert feats2["seq_emb"].shape == (n, 4)
 
 
+@pytest.mark.slow
 def test_logger_backends(tmp_path):
     """CSV/TensorBoard/Multi logger backends write their artifacts; wandb
     degrades gracefully when the package is absent."""
@@ -457,6 +464,7 @@ def test_prefetch_loader_overlaps_io(rng):
     assert t_par < t_serial * 0.5, (t_serial, t_par)
 
 
+@pytest.mark.slow
 def test_steps_per_call_scan(rng):
     """steps_per_call > 1 groups same-shape batches into one on-device
     lax.scan dispatch; step counts and metrics must come out right, and
