@@ -95,6 +95,63 @@ def _variant_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
         out_ref[0] = o[:, :out_ref.shape[-1]].reshape(R, L, -1).astype(dt)
         return
 
+    if mode == "int8_raw":
+        # one int8 MXU dot at the k2 shape: quantize a (R*L, H)-shaped
+        # bf16 input per row, dot against a pre-shaped int8 weight, dequant.
+        # Probes whether Mosaic lowers int8 x int8 -> int32 onto the MXU at
+        # 2x the bf16 rate.
+        h = jnp.concatenate([z2, z2, z2], axis=-1).astype(jnp.float32)
+        sx = jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0 + 1e-8
+        hq = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+        wq = jnp.clip(jnp.round(k2_ref[:].astype(jnp.float32) / 0.01),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(hq, wq, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        o = acc.astype(jnp.float32) * (sx * 0.01)
+        out_ref[0] = o[:, :out_ref.shape[-1]].reshape(R, L, -1).astype(dt)
+        return
+    if mode == "int8_dots":
+        # full int8 MLP chain (per-row dynamic activation scales, scalar
+        # weight scale for the probe), node adds + relu in f32 between.
+        def q(x):
+            s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0 + 1e-8
+            return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8), s
+        def qw(w):
+            s = jnp.max(jnp.abs(w.astype(jnp.float32))) / 127.0 + 1e-8
+            return (jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127)
+                    .astype(jnp.int8), s)
+        k1q, s1 = qw(k1z_ref[:])
+        k2q, s2 = qw(k2_ref[:])
+        kfhq, sfh = qw(kfh_ref[:])
+        kfzq, sfz = qw(kfz_ref[:])
+        zq, sz = q(z2.astype(jnp.float32))
+        h = jax.lax.dot_general(zq, k1q, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        h = h.astype(jnp.float32) * (sz * s1)
+        ni1b = ni1_ref[0] + b1_ref[0]
+        h = h.reshape(R, L, -1) + ni1b[:, None, :] + nj1_ref[0][None, :, :]
+        h = jnp.maximum(h, 0.0)
+        H = h.shape[-1]
+        hq, sh = q(h.reshape(R * L, H))
+        h2 = jax.lax.dot_general(hq, k2q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        h2 = jnp.maximum(h2.astype(jnp.float32) * (sh * s2) + b2_ref[0], 0.0)
+        h2q, sh2 = q(h2)
+        o = (jax.lax.dot_general(h2q, kfhq, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+             .astype(jnp.float32) * (sh2 * sfh))
+        o = o + (jax.lax.dot_general(zq, kfzq, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                 .astype(jnp.float32) * (sz * sfz))
+        Cout = o.shape[-1]
+        nfib = nfi_ref[0] + bf_ref[0]
+        o = o.reshape(R, L, Cout) + nfib[:, None, :] + nfj_ref[0][None, :, :]
+        mean = jnp.mean(o, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(o - mean), axis=-1, keepdims=True)
+        o = (o - mean) * jax.lax.rsqrt(var + eps)
+        out_ref[0] = (o * ln_scale_ref[0] + ln_bias_ref[0]).astype(dt)
+        return
+
     if mode.startswith("chunk"):
         # Split the row block into sub-chunks processed back-to-back in one
         # body: chunks are data-independent, so the Mosaic scheduler can
@@ -194,7 +251,7 @@ def _variant_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
 def edge_mlp_variant(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                      b1, b2, bf, ln_scale, ln_bias,
                      mode="stock", row_block=16, eps=1e-6,
-                     vmem_mb=32, semantics=None):
+                     vmem_mb=32, semantics=None, interpret=False):
     B, L, _, Cz = z.shape
     H = k2.shape[0]
     Cout = kfh.shape[1]
@@ -227,7 +284,8 @@ def edge_mlp_variant(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                               dimension_semantics=semantics)
     return pl.pallas_call(
         functools.partial(_variant_body, eps=eps, mode=mode),
-        compiler_params=cp,
+        interpret=interpret,
+        compiler_params=None if interpret else cp,
         grid=(B, L // rb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rb, L, Cout), lambda b, i: (b, i, 0, 0)),
@@ -244,6 +302,7 @@ def main():
     ap.add_argument("--rbs", default="16,32")
     ap.add_argument("--vmem-mb", type=int, default=100)
     ap.add_argument("--semantics", action="store_true")
+    ap.add_argument("--interpret", action="store_true")
     ns = ap.parse_args()
     B, L = ns.B, ns.L
     dt = jnp.dtype(ns.dtype)
@@ -267,9 +326,11 @@ def main():
     bcat = rnd(X, d=jnp.float32)
     rest = (ni1, nj1, nfi, nfj)
 
-    # reference output for correctness checks
-    ref_out, ref_proj = EM.edge_mlp_pallas(z, *rest, **w,
-                                           proj_w=(wcatT, bcat))
+    # reference output for correctness checks (XLA oracle: runs anywhere)
+    ref_out, ref_proj = EM.edge_mlp_proj_reference(
+        z, *rest, *(w[n] for n in ("k1z", "k2", "kfh", "kfz", "b1", "b2",
+                                   "bf", "ln_scale", "ln_bias")),
+        wcatT, bcat)
 
     def check(fn):
         out = fn(z, *rest)
@@ -298,14 +359,16 @@ def main():
             fn = lambda zc, *r: edge_mlp_variant(zc, *r, **w, mode=mode,
                                                  row_block=rb,
                                                  vmem_mb=ns.vmem_mb,
-                                                 semantics=sem)
+                                                 semantics=sem,
+                                                 interpret=ns.interpret)
             try:
                 t = slope_time(fn, z, rest)
             except Exception as e:  # noqa: BLE001 — report and move on
                 print(f"  {mode:14s} rb={rb:3d}    FAILED: {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]}")
                 continue
-            err = check(fn) if mode in ("stock", "bf16_epilogue") else float("nan")
+            err = (check(fn) if mode in ("stock", "bf16_epilogue", "ln_lite",
+                                         "int8_dots") else float("nan"))
             extra = f"max|err| {err:.2e}"
             if mode == "copy":
                 gbs = 2 * z.size * z.dtype.itemsize / (t * 1e-3) / 1e9
