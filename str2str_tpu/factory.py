@@ -74,6 +74,8 @@ def build_sampler(cfg: Config, net=None, diffuser=None) -> Sampler:
             probability_flow=i.probability_flow,
             self_conditioning=i.self_conditioning,
             min_t=i.min_t, backward_only=i.backward_only,
+            max_steps_per_dispatch=int(
+                i.get("max_steps_per_dispatch", 1000) or 0),
         ),
         seq_mesh=seq_mesh)
 

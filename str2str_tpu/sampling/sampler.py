@@ -47,6 +47,16 @@ class SamplerConfig:
     self_conditioning: bool = True
     min_t: float = 1e-2
     backward_only: bool = False
+    # Upper bound on scan steps per device dispatch for the chained
+    # sampler (0 = unlimited). The full reference protocol is a ~9.5k-step
+    # chain; executing it as ONE device program means a single multi-minute
+    # dispatch, which this environment's TPU worker kills ("TPU worker
+    # process crashed") — and on any deployment it defeats preemption
+    # checkpointing. Long chains run as ceil(T/max) back-to-back dispatches
+    # with a device-resident donated carry: identical trajectories (noise
+    # keys depend only on (slot, local step)), ~50 ms dispatch overhead per
+    # boundary, at most 2 distinct compiled programs (chunk + remainder).
+    max_steps_per_dispatch: int = 1000
 
     def delta_range(self) -> np.ndarray:
         return np.around(
@@ -292,8 +302,34 @@ class Sampler:
         return self._run_chained_impl(n_slots, params, key, feats,
                                       ts, dts, init_f, final_f, slot, local)
 
+    def _chained_init_carry(self, n_slots, feats):
+        """(state, sc_ca, atom37/rigid/psi slot buffers) — the cross-chunk
+        scan carry. Chunked dispatches thread it device-to-device (donated);
+        the one-shot path builds it inside the jit."""
+        residue_mask = feats["residue_mask"].astype(jnp.float32)
+        B, L = residue_mask.shape
+        gt_rigids = Rigid.from_tensor_4x4(
+            feats["rigidgroups_gt_frames"][..., 0, :, :].astype(jnp.float32))
+        state_0 = FrameState.from_rigid(gt_rigids)
+        return (state_0, jnp.zeros_like(state_0.trans),
+                jnp.zeros((n_slots, B, L, 37, 3), jnp.float32),
+                jnp.zeros((n_slots, B, L, 7), jnp.float32),
+                jnp.zeros((n_slots, B, L, 2), jnp.float32))
+
     def _run_chained_impl(self, n_slots, params, key, feats,
                           ts, dts, init_f, final_f, slot, local):
+        carry = self._chained_init_carry(n_slots, feats)
+        carry = self._chained_scan(params, key, feats, carry,
+                                   ts, dts, init_f, final_f, slot, local)
+        return self._chained_outputs(feats, carry)
+
+    def _chained_scan(self, params, key, feats, carry,
+                      ts, dts, init_f, final_f, slot, local):
+        """Scan a (slice of the) chained schedule; carry in, carry out.
+
+        Noise keys are a function of (slot, local step) ONLY — never the
+        global step index — so slicing the schedule across dispatches at any
+        boundary reproduces the one-shot trajectories bitwise."""
         cfg = self.cfg
         k_fwd, k_anneal = jax.random.split(key)
 
@@ -308,12 +344,6 @@ class Sampler:
 
         net_apply = self._make_net_apply(params, feats, residue_mask,
                                          fixed_mask)
-
-        buf37 = jnp.zeros((n_slots, B, L, 37, 3), jnp.float32)
-        bufr = jnp.zeros((n_slots, B, L, 7), jnp.float32)
-        bufpsi = jnp.zeros((n_slots, B, L, 2), jnp.float32)
-        state = state_0
-        sc_ca = jnp.zeros_like(state_0.trans)
 
         def step(carry, inp):
             state, sc_ca, b37, br, bpsi = carry
@@ -366,15 +396,59 @@ class Sampler:
                 bpsi, out["psi"][None].astype(jnp.float32), (s_i, 0, 0, 0))
             return (state, sc_next, b37, br, bpsi), None
 
-        (state, sc_ca, buf37, bufr, bufpsi), _ = jax.lax.scan(
-            step, (state, sc_ca, buf37, bufr, bufpsi),
-            (ts, dts, init_f, final_f, slot, local))
+        carry, _ = jax.lax.scan(
+            step, carry, (ts, dts, init_f, final_f, slot, local))
+        return carry
 
+    def _chained_outputs(self, feats, carry):
+        _, _, buf37, bufr, bufpsi = carry
+        residue_mask = feats["residue_mask"]
+        B, L = residue_mask.shape
+        gt_rigids = Rigid.from_tensor_4x4(
+            feats["rigidgroups_gt_frames"][..., 0, :, :].astype(jnp.float32))
         _, atom37_mask, _ = compute_backbone(
-            state_0.to_rigid(), jnp.zeros((B, L, 2), jnp.float32),
-            feats["aatype"])
+            FrameState.from_rigid(gt_rigids).to_rigid(),
+            jnp.zeros((B, L, 2), jnp.float32), feats["aatype"])
         return {"atom37": buf37, "rigids": bufr, "psi": bufpsi,
                 "atom37_mask": atom37_mask}
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
+    def run_chained_chunk(self, params, key, feats, carry,
+                          ts, dts, init_f, final_f, slot, local):
+        """One bounded dispatch of the chained anneal (see
+        SamplerConfig.max_steps_per_dispatch). The carry is donated, so the
+        slot buffers update in place across dispatches."""
+        if self.seq_mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            fn = shard_map(
+                self._chained_scan, mesh=self.seq_mesh,
+                in_specs=(P(),) * 10, out_specs=P(), check_rep=False)
+            return fn(params, key, feats, carry,
+                      ts, dts, init_f, final_f, slot, local)
+        return self._chained_scan(params, key, feats, carry,
+                                  ts, dts, init_f, final_f, slot, local)
+
+    def _run_chained_auto(self, params, key, feats, n_slots, sched):
+        """Dispatch a full chained schedule, bounded per-dispatch.
+
+        sched: host-side numpy dict from build_chained_schedule. Splits into
+        <= max_steps_per_dispatch slices (at most 2 distinct scan lengths →
+        at most 2 compiled programs) when a bound is set; one-shot
+        `run_chained` otherwise."""
+        keys = ("ts", "dt", "init", "final", "slot", "local")
+        T = sched["ts"].shape[0]
+        C = int(self.cfg.max_steps_per_dispatch)
+        if C <= 0 or T <= C:
+            return self.run_chained(
+                params, key, feats, n_slots,
+                *(jnp.asarray(sched[k]) for k in keys))
+        carry = self._chained_init_carry(n_slots, feats)
+        for lo in range(0, T, C):
+            carry = self.run_chained_chunk(
+                params, key, feats, carry,
+                *(jnp.asarray(sched[k][lo:lo + C]) for k in keys))
+        return self._chained_outputs(feats, carry)
 
     def sample_ensemble_chained(self, params, key: jax.Array,
                                 feats_single: Dict[str, np.ndarray],
@@ -408,10 +482,7 @@ class Sampler:
 
         import time as _time
         _t0 = _time.perf_counter()
-        out = self.run_chained(
-            params, key, batch, n_slots,
-            *(jnp.asarray(sched[k])
-              for k in ("ts", "dt", "init", "final", "slot", "local")))
+        out = self._run_chained_auto(params, key, batch, n_slots, sched)
         atom37 = np.asarray(out["atom37"])          # (S, B, L, 37, 3)
         _log.debug("chained run: S=%d B=%d T=%d: %.2fs",
                    n_slots, B, sched["ts"].shape[0],
@@ -472,9 +543,6 @@ class Sampler:
 
         sched, n_slots = build_chained_schedule(
             deltas, repeats, cfg.num_timesteps, cfg.min_t)
-        sched_dev = tuple(jnp.asarray(sched[k])
-                          for k in ("ts", "dt", "init", "final",
-                                    "slot", "local"))
         bsh = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -491,8 +559,8 @@ class Sampler:
             if bsh is not None:
                 batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
             _t0 = _time.perf_counter()
-            out = self.run_chained(params, jax.random.fold_in(key, ci),
-                                   batch, n_slots, *sched_dev)
+            out = self._run_chained_auto(params, jax.random.fold_in(key, ci),
+                                         batch, n_slots, sched)
             atom37 = np.asarray(out["atom37"])  # (S, B, L, 37, 3)
             _log.debug("multi chunk %d: %d targets x rows, B=%d T=%d: %.2fs",
                        ci, len(np.unique(chunk)), B, sched["ts"].shape[0],

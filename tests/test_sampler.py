@@ -156,6 +156,24 @@ def test_chained_ensemble_runs_and_groups(setup):
     assert not np.allclose(out[0.3][0], out[0.4][0])
 
 
+def test_chained_chunked_dispatch_matches_oneshot(setup):
+    """Splitting the chained scan into bounded dispatches (the full-protocol
+    chain is ~9.5k steps = one multi-minute device program otherwise) must
+    reproduce the one-shot trajectories bitwise: noise keys depend only on
+    (slot, local step), never the dispatch boundary."""
+    prot, feats, net, diffuser, params = setup
+    mk = lambda msd: Sampler(net, diffuser, SamplerConfig(
+        num_timesteps=20, replica_per_batch=2, n_replica=4,
+        delta_min=0.3, delta_max=0.4, delta_step=0.1,
+        max_steps_per_dispatch=msd))
+    one = mk(0).sample_ensemble_chained(params, jax.random.PRNGKey(5), feats)
+    # 7 does not divide the 32-step chain: exercises the remainder program.
+    chk = mk(7).sample_ensemble_chained(params, jax.random.PRNGKey(5), feats)
+    assert set(one.keys()) == set(chk.keys())
+    for d in one:
+        np.testing.assert_array_equal(one[d], chk[d])
+
+
 @pytest.mark.slow
 def test_chained_segments_are_independent(setup):
     """A segment's output must depend only on its own (slot, delta) — not on
