@@ -27,7 +27,7 @@ from jax import lax
 
 from ..geometry import rotations as rot
 from ..geometry.rigid import quat_compose_update
-from .layers import (BackboneUpdate, EdgeTransition, NodeTransition,
+from .layers import (INITS, BackboneUpdate, EdgeTransition, NodeTransition,
                      TorsionAngleHead, TransformerEncoder, linear)
 
 _HP = lax.Precision.HIGHEST
@@ -104,22 +104,48 @@ class InvariantPointAttention(nn.Module):
         # EdgeTransition emitted only proj; its z' was never written).
         c_z = self.c_z if z is None else z.shape[-1]
 
-        # --- scalar q/k/v --------------------------------------------------
-        q = linear(H * C, dtype=self.dtype, name="linear_q")(s)
-        kv = linear(2 * H * C, dtype=self.dtype, name="linear_kv")(s)
-        q = q.reshape(B, L, H, C)
-        k, v = jnp.split(kv.reshape(B, L, H, 2 * C), 2, axis=-1)
+        # --- packed q/k/v + point projections --------------------------------
+        # One (c_s, 3HC + 3H(2Pq+Pv)) matmul instead of four separate Dense
+        # calls: one read of s, one MXU dispatch (the four node-sized dots
+        # plus their relayouts were ~0.3 ms/block of XLA prep at the
+        # B=50/L=128 protocol shape). Param scopes/paths are unchanged
+        # (linear_q, linear_kv, linear_q_points, linear_kv_points), so torch
+        # checkpoints convert 1:1.
+        dt = self.dtype
+        wq_, bq_ = _DenseParams(s.shape[-1], H * C,
+                                kernel_init=INITS["default"],
+                                name="linear_q")()
+        wkv_, bkv_ = _DenseParams(s.shape[-1], 2 * H * C,
+                                  kernel_init=INITS["default"],
+                                  name="linear_kv")()
+        wqp_, bqp_ = _DenseParams(s.shape[-1], H * Pq * 3,
+                                  kernel_init=INITS["default"],
+                                  name="linear_q_points")()
+        wkvp_, bkvp_ = _DenseParams(s.shape[-1], H * (Pq + Pv) * 3,
+                                    kernel_init=INITS["default"],
+                                    name="linear_kv_points")()
+        W = jnp.concatenate([wq_, wkv_, wqp_, wkvp_], axis=1).astype(dt)
+        bvec = jnp.concatenate([bq_, bkv_, bqp_, bkvp_]).astype(dt)
+        packed = jnp.dot(s.astype(dt), W) + bvec
+        n_q, n_kv = H * C, 2 * H * C
+        n_qp = H * Pq * 3
+        q = packed[..., :n_q].reshape(B, L, H, C)
+        k, v = jnp.split(
+            packed[..., n_q:n_q + n_kv].reshape(B, L, H, 2 * C), 2, axis=-1)
 
-        # --- point q/k/v in global coordinates ------------------------------
-        # The torch layout packs points as (x..x y..y z..z); keep that exact
-        # layout so checkpoints convert without permutation.
-        q_pts = linear(H * Pq * 3, dtype=self.dtype, name="linear_q_points")(s)
-        q_pts = jnp.stack(jnp.split(q_pts, 3, axis=-1), axis=-1)  # (B,L,H*Pq,3)
-        q_pts = _apply_frames(frames, q_pts).reshape(B, L, H, Pq, 3)
-
-        kv_pts = linear(H * (Pq + Pv) * 3, dtype=self.dtype, name="linear_kv_points")(s)
-        kv_pts = jnp.stack(jnp.split(kv_pts, 3, axis=-1), axis=-1)
-        kv_pts = _apply_frames(frames, kv_pts).reshape(B, L, H, Pq + Pv, 3)
+        # Point q/k/v in global coordinates. The torch layout packs points as
+        # (x..x y..y z..z); keep that exact layout so checkpoints convert
+        # without permutation. Both point sets rotate through ONE fused
+        # frame application.
+        q_pts = packed[..., n_q + n_kv:n_q + n_kv + n_qp]
+        kv_pts = packed[..., n_q + n_kv + n_qp:]
+        pts = jnp.concatenate(
+            [jnp.stack(jnp.split(q_pts, 3, axis=-1), axis=-1),
+             jnp.stack(jnp.split(kv_pts, 3, axis=-1), axis=-1)],
+            axis=-2)  # (B, L, H*Pq + H*(Pq+Pv), 3)
+        pts = _apply_frames(frames, pts)
+        q_pts = pts[..., :H * Pq, :].reshape(B, L, H, Pq, 3)
+        kv_pts = pts[..., H * Pq:, :].reshape(B, L, H, Pq + Pv, 3)
         k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
 
         head_weights = nn.softplus(self.param(
