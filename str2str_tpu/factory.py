@@ -32,6 +32,7 @@ def build_network(cfg: Config) -> ScoreNetwork:
         use_pallas=n.get("use_pallas", "auto"),
         use_pallas_ipa=n.get("use_pallas_ipa", "off"),
         seq_axis=n.get("seq_axis", "") or "",
+        edge_dots_int8=bool(n.get("edge_dots_int8", False)),
     ))
 
 

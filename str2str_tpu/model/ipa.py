@@ -322,6 +322,7 @@ class TranslationIPA(nn.Module):
     use_pallas: str = "auto"
     use_pallas_ipa: str = "auto"
     seq_axis: str = ""
+    edge_dots_int8: bool = False  # inference-only int8 EdgeTransition dots
 
     def setup(self):
         # Defined in setup so the NETWORK can fold ipa_0's z-projection
@@ -407,6 +408,7 @@ class TranslationIPA(nn.Module):
                     edge_embed_out=self.c_z, dtype=self.dtype,
                     use_pallas=self.use_pallas,
                     seq_axis=self.seq_axis,
+                    dots_int8=self.edge_dots_int8,
                     name=f"edge_transition_{b}")
                 if use_mega:
                     # The LAST transition's z' is dead (the final IPA block

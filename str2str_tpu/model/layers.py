@@ -117,6 +117,10 @@ class EdgeTransition(nn.Module):
     # shard; the column-side node contributions are sliced to match
     # (pointwise over (i, j) — no communication).
     seq_axis: str = ""
+    # INFERENCE-ONLY: run the four trunk matmuls on the int8 MXU (394 TOPS
+    # vs 197 TFLOP/s bf16; per-channel weight + per-row activation scales).
+    # No VJP — training paths must keep this off.
+    dots_int8: bool = False
 
     @nn.compact
     def __call__(self, node_embed, edge_embed, proj_w=None,
@@ -174,6 +178,12 @@ class EdgeTransition(nn.Module):
         base_args = (z, ni1, nj1, nfi, nfj,
                      k1[:c_edge], k2, kf, kf[:c_edge], b1, b2, bf,
                      ln_scale, ln_bias)
+        if self.dots_int8 and use_pallas:
+            out = _em.edge_mlp_pallas(*base_args, proj_w=proj_w,
+                                      need_out=need_out, int8_dots=True)
+            if proj_w is not None and not need_out:
+                return None, out
+            return out
         if proj_w is not None:
             if not need_out:
                 fn = (_em.edge_mlp_proj_only if use_pallas

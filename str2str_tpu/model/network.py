@@ -54,6 +54,11 @@ class NetworkConfig:
     # runs under (inside shard_map) with the edge tensors column-sharded —
     # the L >> 512 path the reference lacks (SURVEY §5.7). Empty = off.
     seq_axis: str = ""
+    # INFERENCE-ONLY: run the EdgeTransition trunk matmuls (61% of the
+    # forward's cost at the bf16 MXU wall) on the int8 MXU at 2x the bf16
+    # rate. No VJP — training must keep this off. Validated
+    # distributionally (JS at the 1000-conf seed floor, BASELINE.md).
+    edge_dots_int8: bool = False
 
 
 class ScoreNetwork(nn.Module):
@@ -88,6 +93,7 @@ class ScoreNetwork(nn.Module):
             no_qk_points=cfg.no_qk_points, no_v_points=cfg.no_v_points,
             dropout=cfg.dropout, dtype=dtype, use_pallas=cfg.use_pallas,
             use_pallas_ipa=cfg.use_pallas_ipa, seq_axis=cfg.seq_axis,
+            edge_dots_int8=cfg.edge_dots_int8,
             name="translator")
 
         # Block-0 mega-fusion: when both Pallas paths are active, the edge

@@ -35,32 +35,79 @@ from ._pallas_util import is_tpu as is_supported
 DEFAULT_ROW_BLOCK = 16
 
 
+def _quantize_rows(x2: jnp.ndarray):
+    """Symmetric per-row int8 quantization of a (rows, K) fp32 tensor.
+    Returns (int8 values, (rows, 1) fp32 dequant scale)."""
+    s = (jnp.max(jnp.abs(x2), axis=-1, keepdims=True) * (1.0 / 127.0)
+         + 1e-12)
+    return jnp.round(x2 / s).astype(jnp.int8), s
+
+
+def quantize_weight_cols(w: jnp.ndarray):
+    """Symmetric per-OUTPUT-channel int8 weight quantization (host/XLA side).
+    Returns (int8 (K, N), (1, N) fp32 dequant scale)."""
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0 + 1e-12
+    return jnp.round(wf / s).astype(jnp.int8), s
+
+
 def _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
                   k1z_ref, k2_ref, kfh_ref, kfz_ref,
                   b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
-                  eps: float):
+                  eps: float, scale_refs=None):
     """Shared fused-MLP forward over one row block; returns the final
-    LayerNorm output (R, L, Cout) in fp32."""
+    LayerNorm output (R, L, Cout) in fp32.
+
+    scale_refs: None for the bf16/fp32 MXU path. For the int8 path the
+    weight refs hold per-output-channel int8 weights and scale_refs their
+    (1, N) fp32 dequant scales; activations quantize per row in VMEM
+    (symmetric absmax), so every dequant is the rank-1 product
+    row_scale x col_scale — the MXU runs at the 394 TOPS int8 rate
+    instead of 197 TFLOP/s bf16."""
     z = z_ref[0]                       # (R, L, Cz)
     R, L, Cz = z.shape
     z2 = z.reshape(R * L, Cz)
+    int8 = scale_refs is not None
 
-    h = jnp.dot(z2, k1z_ref[:], preferred_element_type=jnp.float32)
+    if int8:
+        s1_ref, s2_ref, sfh_ref, sfz_ref = scale_refs
+        zq, za = _quantize_rows(z2.astype(jnp.float32))
+        h = jax.lax.dot_general(zq, k1z_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        h = h.astype(jnp.float32) * za * s1_ref[0]
+    else:
+        h = jnp.dot(z2, k1z_ref[:], preferred_element_type=jnp.float32)
     # Fold the bias row into the (R, H)-sized row term BEFORE broadcasting:
     # one fewer full-size VPU pass over the (R, L, H) hidden per add chain
     # (Mosaic lowers each elementwise op as its own VMEM pass).
     ni1b = ni1_ref[0] + b1_ref[0]
     h = h.reshape(R, L, -1) + ni1b[:, None, :] + nj1_ref[0][None, :, :]
-    h = jnp.maximum(h, 0.0).astype(z.dtype)
     H = h.shape[-1]
 
-    h = jnp.dot(h.reshape(R * L, H), k2_ref[:],
-                preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b2_ref[0], 0.0).astype(z.dtype)
+    if int8:
+        h = jnp.maximum(h, 0.0).reshape(R * L, H)
+        hq, ha = _quantize_rows(h)
+        h = jax.lax.dot_general(hq, k2_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        h = jnp.maximum(h.astype(jnp.float32) * ha * s2_ref[0] + b2_ref[0],
+                        0.0)
+        h2q, h2a = _quantize_rows(h)
+        o = (jax.lax.dot_general(h2q, kfh_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+             .astype(jnp.float32) * h2a * sfh_ref[0])
+        o = o + (jax.lax.dot_general(zq, kfz_ref[:],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                 .astype(jnp.float32) * za * sfz_ref[0])
+    else:
+        h = jnp.maximum(h, 0.0).astype(z.dtype)
+        h = jnp.dot(h.reshape(R * L, H), k2_ref[:],
+                    preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b2_ref[0], 0.0).astype(z.dtype)
 
-    # (h2 + x) @ Kf == h2 @ Kf + z @ Kf_z + rank-L node parts.
-    o = jnp.dot(h, kfh_ref[:], preferred_element_type=jnp.float32)
-    o = o + jnp.dot(z2, kfz_ref[:], preferred_element_type=jnp.float32)
+        # (h2 + x) @ Kf == h2 @ Kf + z @ Kf_z + rank-L node parts.
+        o = jnp.dot(h, kfh_ref[:], preferred_element_type=jnp.float32)
+        o = o + jnp.dot(z2, kfz_ref[:], preferred_element_type=jnp.float32)
     Cout = o.shape[-1]
     nfib = nfi_ref[0] + bf_ref[0]
     o = o.reshape(R, L, Cout) + nfib[:, None, :] + nfj_ref[0][None, :, :]
@@ -115,11 +162,52 @@ def _kernel_proj_only(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
     _emit_proj(o, wcatT_ref, bcat_ref, proj_ref)
 
 
+def _kernel_int8(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                 k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                 b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
+                 s1_ref, s2_ref, sfh_ref, sfz_ref,
+                 out_ref, *, eps: float):
+    o = _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                      k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                      b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref, eps,
+                      scale_refs=(s1_ref, s2_ref, sfh_ref, sfz_ref))
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def _kernel_proj_int8(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                      k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                      b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
+                      s1_ref, s2_ref, sfh_ref, sfz_ref,
+                      wcatT_ref, bcat_ref,
+                      out_ref, proj_ref, *, eps: float):
+    o = _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                      k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                      b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref, eps,
+                      scale_refs=(s1_ref, s2_ref, sfh_ref, sfz_ref))
+    oc = o.astype(out_ref.dtype)
+    out_ref[0] = oc
+    _emit_proj(oc, wcatT_ref, bcat_ref, proj_ref)
+
+
+def _kernel_proj_only_int8(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                           k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                           b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref,
+                           s1_ref, s2_ref, sfh_ref, sfz_ref,
+                           wcatT_ref, bcat_ref,
+                           proj_ref, *, eps: float):
+    o = _forward_body(z_ref, ni1_ref, nj1_ref, nfi_ref, nfj_ref,
+                      k1z_ref, k2_ref, kfh_ref, kfz_ref,
+                      b1_ref, b2_ref, bf_ref, ln_scale_ref, ln_bias_ref, eps,
+                      scale_refs=(s1_ref, s2_ref, sfh_ref, sfz_ref))
+    _emit_proj(o, wcatT_ref, bcat_ref, proj_ref)
+
+
 def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
                     b1, b2, bf, ln_scale, ln_bias,
                     eps: float = 1e-6,
                     row_block: int = DEFAULT_ROW_BLOCK,
-                    proj_w=None, need_out: bool = True):
+                    proj_w=None, need_out: bool = True,
+                    int8_dots: bool = False):
     """Fused edge MLP.
 
     z: (B, L, L, Cz); ni1/nj1: (B, L, H); nfi/nfj: (B, L, Cout);
@@ -137,6 +225,11 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     Rectangular inputs are supported: z may be (B, Lr, Lc, Cz) with
     nj1/nfj holding the Lc column-side node parts — the sequence-sharded
     trunk (parallel/seq_shard.py) calls with each device's column shard.
+
+    int8_dots=True quantizes the four trunk matmuls to int8 (per-output-
+    channel weight scales computed here; per-row activation scales in
+    VMEM) — the MXU's 394 TOPS int8 rate vs 197 TFLOP/s bf16. INFERENCE
+    ONLY: the int8 path defines no VJP (training keeps the bf16 kernels).
     """
     B, Lr, Lc, Cz = z.shape
     H = k2.shape[0]
@@ -150,7 +243,21 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     nfi, nfj = nfi.astype(jnp.float32), nfj.astype(jnp.float32)
     vecs = [v.reshape(1, -1).astype(jnp.float32)
             for v in (b1, b2, bf, ln_scale, ln_bias)]
-    weights = [w.astype(dt) for w in (k1z, k2, kfh, kfz)]
+    if int8_dots:
+        qw = [quantize_weight_cols(w) for w in (k1z, k2, kfh, kfz)]
+        weights = [q for q, _ in qw]
+        scale_args = [s for _, s in qw]
+        scale_specs = [
+            pl.BlockSpec((1, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+        ]
+        kerns = (_kernel_int8, _kernel_proj_int8, _kernel_proj_only_int8)
+    else:
+        weights = [w.astype(dt) for w in (k1z, k2, kfh, kfz)]
+        scale_args, scale_specs = [], []
+        kerns = (_kernel, _kernel_proj, _kernel_proj_only)
 
     in_specs = [
         pl.BlockSpec((1, rb, Lc, Cz), lambda b, i: (b, i, 0, 0)),
@@ -167,12 +274,13 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
         pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
         pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
         pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+        *scale_specs,
     ]
-    args = [z, ni1, nj1, nfi, nfj, *weights, *vecs]
+    args = [z, ni1, nj1, nfi, nfj, *weights, *vecs, *scale_args]
 
     if proj_w is None:
         return pl.pallas_call(
-            functools.partial(_kernel, eps=eps),
+            functools.partial(kerns[0], eps=eps),
             compiler_params=_cp(32 * 1024 * 1024),
             grid=(B, Lr // rb),
             in_specs=in_specs,
@@ -189,7 +297,7 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
     args += [wcatT.astype(dt), bcat.reshape(1, -1).astype(jnp.float32)]
     if not need_out:
         return pl.pallas_call(
-            functools.partial(_kernel_proj_only, eps=eps),
+            functools.partial(kerns[2], eps=eps),
             compiler_params=_cp(32 * 1024 * 1024),
             grid=(B, Lr // rb),
             in_specs=in_specs,
@@ -197,7 +305,7 @@ def edge_mlp_pallas(z, ni1, nj1, nfi, nfj, k1z, k2, kfh, kfz,
             out_shape=jax.ShapeDtypeStruct((B, Lr, X, Lc), dt),
         )(*args)
     return pl.pallas_call(
-        functools.partial(_kernel_proj, eps=eps),
+        functools.partial(kerns[1], eps=eps),
         compiler_params=_cp(32 * 1024 * 1024),
         grid=(B, Lr // rb),
         in_specs=in_specs,

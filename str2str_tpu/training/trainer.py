@@ -149,6 +149,10 @@ class Trainer:
                                          or net.cfg.use_pallas_ipa != "off"):
                 net = _SN(_dc_replace(net.cfg, use_pallas="off",
                                       use_pallas_ipa="off"))
+        # int8 EdgeTransition dots are inference-only (no VJP; a grad
+        # through the quantization rounding would be silently zero).
+        if isinstance(net, _SN) and net.cfg.edge_dots_int8:
+            net = _SN(_dc_replace(net.cfg, edge_dots_int8=False))
         if cfg.seq_devices > 1:
             # 2-D (data, seq) mesh: auto-enable the network's
             # sequence-sharded mode (same trunk the long-context sampler

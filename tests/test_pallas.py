@@ -36,7 +36,7 @@ def test_edge_mlp_kernel_matches_reference(rng):
                                atol=2e-5, rtol=2e-5)
 
 
-def _interpret_pallas(args):
+def _interpret_pallas(args, **kwargs):
     import unittest.mock as mock
     from jax.experimental import pallas as pl
 
@@ -47,7 +47,34 @@ def _interpret_pallas(args):
         return real_call(*a, **kw)
 
     with mock.patch.object(pl, "pallas_call", fake_call):
-        return edge_mlp.edge_mlp_pallas(*args)
+        return edge_mlp.edge_mlp_pallas(*args, **kwargs)
+
+
+def test_edge_mlp_int8_dots_close_to_reference(rng):
+    """The inference-only int8 MXU path (per-channel weight + per-row
+    activation scales) must track the fp32 reference within quantization
+    error — |LN output| is O(1), so a broken scale chain shows up as O(1)
+    error while healthy int8 sits near ~1e-2."""
+    args = _args(rng)
+    ref = edge_mlp.edge_mlp_reference(*args)
+    out = _interpret_pallas(args, int8_dots=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert np.isfinite(np.asarray(out)).all()
+    assert err.max() < 0.35, err.max()
+    assert err.mean() < 0.03, err.mean()
+
+    # proj + proj-only variants run the same int8 body.
+    X, Cout = 8, args[7].shape[1]
+    wcatT = jnp.asarray(rng.randn(X, Cout) * 0.3, jnp.float32)
+    bcat = jnp.asarray(rng.randn(X) * 0.1, jnp.float32)
+    out2, proj = _interpret_pallas(args, proj_w=(wcatT, bcat),
+                                   int8_dots=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                               atol=1e-6, rtol=1e-6)
+    proj_only = _interpret_pallas(args, proj_w=(wcatT, bcat),
+                                  need_out=False, int8_dots=True)
+    np.testing.assert_allclose(np.asarray(proj_only), np.asarray(proj),
+                               atol=1e-6, rtol=1e-6)
 
 
 def test_edge_transition_layer_matches_between_paths(rng):
