@@ -35,7 +35,34 @@ import math
 from jax.experimental import pallas as pl
 
 from str2str_tpu.ops import edge_embed as EE
-from ablate_edge_mlp import slope_time  # one-element-carry slope harness
+
+
+def slope_time(fn, z, rest, n_short=20, n_long=80):
+    """ndim-agnostic version of ablate_edge_mlp.slope_time (one-element
+    in-place carry behind an optimization_barrier; see that docstring)."""
+    nd = z.ndim
+
+    def total_ms(iters):
+        @jax.jit
+        def chained(z0, *r):
+            def step(zc, _):
+                outs = fn(zc, *r)
+                if not isinstance(outs, tuple):
+                    outs = (outs,)
+                outs = jax.lax.optimization_barrier(outs)
+                bump = (outs[0].reshape(-1)[0] * 1e-12).astype(zc.dtype)
+                zc = jax.lax.dynamic_update_slice(
+                    zc, zc[(slice(0, 1),) * nd] + bump, (0,) * nd)
+                return zc, ()
+            zf, _ = jax.lax.scan(step, z0, None, length=iters)
+            return jnp.sum(zf.astype(jnp.float32))
+
+        chained(z * 0.999, *rest).block_until_ready()  # compile+warm
+        t0 = time.perf_counter()
+        float(chained(z, *rest))
+        return (time.perf_counter() - t0) * 1e3
+
+    return (total_ms(n_long) - total_ms(n_short)) / (n_long - n_short)
 
 
 def _variant_kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
