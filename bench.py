@@ -96,7 +96,10 @@ def measure_tpu_nfe_rate() -> float:
     from str2str_tpu.factory import build_diffuser, build_network, build_sampler
     from str2str_tpu.sampling.sampler import build_schedule
 
-    cfg = load_config("eval", [])
+    # BENCH_OVERRIDES: space-separated config overrides (same syntax as the
+    # CLI), e.g. BENCH_OVERRIDES="model.net.edge_dots_int8=true" to measure
+    # the int8 edge-dot variant with the identical harness.
+    cfg = load_config("eval", os.environ.get("BENCH_OVERRIDES", "").split() or [])
     net = build_network(cfg)
     diffuser = build_diffuser(cfg)
     sampler = build_sampler(cfg, net, diffuser)

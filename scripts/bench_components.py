@@ -80,6 +80,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--bwd", action="store_true",
                     help="also time kernel fwd+bwd (training path)")
+    ap.add_argument("--int8", action="store_true",
+                    help="run the EdgeTransition dots on the int8 MXU path "
+                         "(inference-only; model.net.edge_dots_int8)")
     ns = ap.parse_args()
     B, L = ns.B, ns.L
     dt = jnp.dtype(ns.dtype)
@@ -127,7 +130,8 @@ def main():
 
     def em_step(zc):
         z2, proj = EM.edge_mlp_pallas(zc, ni1, nj1, nfi, nfj, **em_w,
-                                      proj_w=(wcatT.astype(jnp.float32), bcat))
+                                      proj_w=(wcatT.astype(jnp.float32), bcat),
+                                      int8_dots=ns.int8)
         return fold(zc, z2, proj)
 
     rows["edgemlp+proj"] = slope_time(lambda zc: (em_step(zc),), (z,))

@@ -67,6 +67,9 @@ def main():
                     help="save the seed-A CA ensemble here")
     ap.add_argument("--chained", action="store_true",
                     help="chained-delta single-program sampler (one compile)")
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra config override(s), e.g. "
+                         "model.net.edge_dots_int8=true")
     args = ap.parse_args()
 
     from str2str_tpu.config.core import load_config
@@ -80,7 +83,7 @@ def main():
         f"model.net.dtype={args.dtype}",
         f"model.inference.num_timesteps={args.num_timesteps}",
         f"model.inference.replica_per_batch={args.replica_per_batch}",
-    ])
+    ] + args.override)
     net = build_network(cfg)
     diffuser = build_diffuser(cfg)
     sampler = build_sampler(cfg, net, diffuser)
