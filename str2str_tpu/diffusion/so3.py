@@ -95,6 +95,20 @@ class SO3Diffusion:
         return self.sample(key, t, shape)
 
     # -- score -----------------------------------------------------------------
+    def _n_terms_eff(self) -> int:
+        """Static truncation of the in-graph series.
+
+        Series terms decay as exp(-l(l+1) sigma^2 / 2) and sigma >= min_sigma
+        on the whole schedule, so every term past l_max with
+        l_max(l_max+1) min_sigma^2/2 >= 40 is below ~1e-17 — orders of
+        magnitude under fp32 resolution of the sum. The sampler calls this
+        every reverse step on (B, L) rotations; evaluating 1000 terms
+        (the table-builder default) in-graph was ~an extra EdgeTransition
+        of per-step VPU time at the protocol shape."""
+        import math
+        n = int(math.ceil(math.sqrt(80.0) / max(self.cfg.min_sigma, 1e-3))) + 2
+        return max(16, min(self.cfg.n_terms, n))
+
     def score(self, vec: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         """Score of IGSO(3) as a tangent (rotation) vector at `vec` (..., 3).
 
@@ -115,8 +129,9 @@ class SO3Diffusion:
         else:
             sigma = self.tables.sigmas[t_idx]
             sigma = sigma.reshape(sigma.shape + (1,) * (omega.ndim - 1))
-            exp_vals = igso3.expansion_jnp(omega, sigma, self.cfg.n_terms)
-            score_norm = igso3.score_norm_jnp(exp_vals, omega, sigma, self.cfg.n_terms)
+            n_terms = self._n_terms_eff()
+            exp_vals = igso3.expansion_jnp(omega, sigma, n_terms)
+            score_norm = igso3.score_norm_jnp(exp_vals, omega, sigma, n_terms)
         return score_norm[..., None] * vec / (omega[..., None] + eps)
 
     def score_scaling(self, t: jnp.ndarray) -> jnp.ndarray:

@@ -355,18 +355,21 @@ class Sampler:
             k_seg = jax.random.fold_in(k_fwd, s_i)
             k_rev = jax.random.fold_in(jax.random.fold_in(k_anneal, s_i), loc)
 
-            if cfg.backward_only:
-                st_new = self.diffuser.sample_prior(
-                    k_seg, state.quat.shape[:-1], reference=state_0,
-                    diffuse_mask=residue_mask)
-            else:
-                st_new = self.diffuser.forward_marginal(
-                    k_seg, state_0, tb, diffuse_mask=residue_mask)["state_t"]
-            use_new = ini > 0
-            state = FrameState(
-                jnp.where(use_new, st_new.quat, state.quat),
-                jnp.where(use_new, st_new.trans, state.trans))
-            sc_in = jnp.where(use_new, jnp.zeros_like(sc_ca), sc_ca)
+            # Segment re-init happens on ~0.2% of steps; lax.cond keeps the
+            # IGSO(3) inverse-CDF sampling off the other 99.8%.
+            def _seg_init(ops):
+                st, sc = ops
+                if cfg.backward_only:
+                    st_new = self.diffuser.sample_prior(
+                        k_seg, st.quat.shape[:-1], reference=state_0,
+                        diffuse_mask=residue_mask)
+                else:
+                    st_new = self.diffuser.forward_marginal(
+                        k_seg, state_0, tb, diffuse_mask=residue_mask)["state_t"]
+                return st_new, jnp.zeros_like(sc)
+
+            state, sc_in = jax.lax.cond(
+                ini > 0, _seg_init, lambda ops: ops, (state, sc_ca))
 
             out = net_apply(state, sc_in, tb)
             sc_next = out["trans"] if cfg.self_conditioning else sc_in
@@ -385,15 +388,25 @@ class Sampler:
                 jnp.where(adv, next_state.quat, state.quat),
                 jnp.where(adv, next_state.trans, state.trans))
 
-            atom37, _, _ = compute_backbone(
-                pred_state.to_rigid(), out["psi"], feats["aatype"])
-            b37 = jax.lax.dynamic_update_slice(
-                b37, atom37[None].astype(jnp.float32), (s_i, 0, 0, 0, 0))
-            br = jax.lax.dynamic_update_slice(
-                br, pred_state.to_tensor_7()[None].astype(jnp.float32),
-                (s_i, 0, 0, 0))
-            bpsi = jax.lax.dynamic_update_slice(
-                bpsi, out["psi"][None].astype(jnp.float32), (s_i, 0, 0, 0))
+            # Only a segment's FINAL x0 prediction is kept; lax.cond keeps
+            # the atom37 rebuild + slot writes off every non-final step
+            # (they were last-write-wins before, same result).
+            def _write_slots(bufs):
+                b37_, br_, bpsi_ = bufs
+                atom37, _, _ = compute_backbone(
+                    pred_state.to_rigid(), out["psi"], feats["aatype"])
+                b37_ = jax.lax.dynamic_update_slice(
+                    b37_, atom37[None].astype(jnp.float32), (s_i, 0, 0, 0, 0))
+                br_ = jax.lax.dynamic_update_slice(
+                    br_, pred_state.to_tensor_7()[None].astype(jnp.float32),
+                    (s_i, 0, 0, 0))
+                bpsi_ = jax.lax.dynamic_update_slice(
+                    bpsi_, out["psi"][None].astype(jnp.float32),
+                    (s_i, 0, 0, 0))
+                return b37_, br_, bpsi_
+
+            b37, br, bpsi = jax.lax.cond(
+                fin > 0, _write_slots, lambda bufs: bufs, (b37, br, bpsi))
             return (state, sc_next, b37, br, bpsi), None
 
         carry, _ = jax.lax.scan(

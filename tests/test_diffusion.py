@@ -57,6 +57,35 @@ def test_so3_score_matches_numerical_gradient(so3):
     np.testing.assert_allclose(np.asarray(ana), np.asarray(num), atol=1e-2, rtol=1e-2)
 
 
+def test_so3_score_series_truncation_exact(so3):
+    """The static series truncation (SO3Diffusion._n_terms_eff) must match
+    the full 1000-term series to fp32 resolution at every schedule sigma —
+    terms past l_max decay as exp(-l(l+1) min_sigma^2/2), far below eps."""
+    from str2str_tpu.diffusion import igso3
+    n_eff = so3._n_terms_eff()
+    assert n_eff < so3.cfg.n_terms  # the truncation is actually active
+    omega = jnp.linspace(1e-3, np.pi - 1e-3, 64)
+    for sig in (so3.cfg.min_sigma, 0.5, so3.cfg.max_sigma):
+        sigma = jnp.full((), sig)
+        e_full = np.asarray(igso3.expansion_jnp(omega, sigma, so3.cfg.n_terms))
+        e_tr = np.asarray(igso3.expansion_jnp(omega, sigma, n_eff))
+        s_full = np.asarray(igso3.score_norm_jnp(
+            jnp.asarray(e_full), omega, sigma, so3.cfg.n_terms))
+        s_tr = np.asarray(igso3.score_norm_jnp(
+            jnp.asarray(e_tr), omega, sigma, n_eff))
+        # Truncation error is ~1e-15 relative; the observable tolerance is
+        # set by fp32 reduction-order noise (the two sums reduce different
+        # lengths), which scales with the series' peak magnitude.
+        scale = np.abs(e_full).max()
+        np.testing.assert_allclose(e_tr, e_full, atol=1e-6 * scale, rtol=1e-5)
+        # Score is only ever evaluated at IGSO3-distributed omegas; compare
+        # where the density is non-negligible (elsewhere the +1e-4
+        # regularizer divides fp32 noise by fp32 noise).
+        live = e_full > 1e-4 * scale
+        np.testing.assert_allclose(s_tr[live], s_full[live],
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_r3_forward_score_is_gaussian_score(r3):
     key = jax.random.PRNGKey(1)
     x0 = jax.random.normal(key, (8, 16, 3)) * 10.0
