@@ -52,6 +52,7 @@ def test_sample_cli_end_to_end(tmp_path, fixture_pdb):
         assert np.isfinite(m.atom_positions).all()
 
 
+@pytest.mark.slow
 def test_sample_cli_chained_end_to_end(tmp_path, fixture_pdb):
     """model.inference.chained=true: same CLI surface, one compiled program
     for the whole delta grid."""

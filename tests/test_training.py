@@ -244,6 +244,7 @@ def test_resume_restores_schedule_and_continues(tmp_path, rng):
     assert np.isfinite(get_learning_rate(r2["opt_state"]))
 
 
+@pytest.mark.slow
 def test_early_stopping_and_best_checkpoint(tmp_path, rng):
     """EarlyStopping on val/loss with patience + best/ checkpoint tracking
     (reference configs/callbacks/default.yaml:8-26 semantics)."""
@@ -645,6 +646,7 @@ def test_limit_and_overfit_batches(tmp_path, rng):
     assert set(seen_val) == {0, 1}                # val ran on the overfit subset
 
 
+@pytest.mark.slow
 def test_random_crop_matches_reference_semantics(fixture_pdb_bpti):
     """Train-time random crop (featurize truncate_length) reproduces the
     reference's random_truncate semantics (reference dataset.py:94-103):
