@@ -124,14 +124,40 @@ class InvariantPointAttention(nn.Module):
         wkvp_, bkvp_ = _DenseParams(s.shape[-1], H * (Pq + Pv) * 3,
                                     kernel_init=INITS["default"],
                                     name="linear_kv_points")()
-        W = jnp.concatenate([wq_, wkv_, wqp_, wkvp_], axis=1).astype(dt)
-        bvec = jnp.concatenate([bq_, bkv_, bqp_, bkvp_]).astype(dt)
-        packed = jnp.dot(s.astype(dt), W) + bvec
         n_q, n_kv = H * C, 2 * H * C
         n_qp = H * Pq * 3
-        q = packed[..., :n_q].reshape(B, L, H, C)
-        k, v = jnp.split(
-            packed[..., n_q:n_q + n_kv].reshape(B, L, H, 2 * C), 2, axis=-1)
+
+        from ..ops import ipa_attention as _ia
+        use_pallas = (not self.seq_axis
+                      and (self.use_pallas == "on"
+                           or (self.use_pallas == "auto"
+                               and _ia.is_supported())))
+        if use_pallas:
+            # Packed-natural kernel layout (ops/ipa_attention.py
+            # ::_fwd_kernel_nat): fold the sqrt(1/(3C)) logit scale into the
+            # q columns and reorder the torch-layout kv columns
+            # head-contiguous ([k all heads | v all heads]) — weight-sized
+            # ops on loop invariants, hoisted out of the anneal scan. The
+            # attention kernel then DMAs q/k/v straight from `packed`; no
+            # slice/split/relayout of the projection output exists at all.
+            perm = (jnp.arange(H)[:, None] * 2 * C
+                    + jnp.arange(C)[None, :]).reshape(-1)
+            kvperm = jnp.concatenate([perm, perm + C])
+            scale_qk = math.sqrt(1.0 / (3 * C))
+            W = jnp.concatenate(
+                [wq_ * scale_qk, wkv_[:, kvperm], wqp_, wkvp_],
+                axis=1).astype(dt)
+            bvec = jnp.concatenate(
+                [bq_ * scale_qk, bkv_[kvperm], bqp_, bkvp_]).astype(dt)
+        else:
+            W = jnp.concatenate([wq_, wkv_, wqp_, wkvp_], axis=1).astype(dt)
+            bvec = jnp.concatenate([bq_, bkv_, bqp_, bkvp_]).astype(dt)
+        packed = jnp.dot(s.astype(dt), W) + bvec
+        if not use_pallas:
+            q = packed[..., :n_q].reshape(B, L, H, C)
+            k, v = jnp.split(
+                packed[..., n_q:n_q + n_kv].reshape(B, L, H, 2 * C), 2,
+                axis=-1)
 
         # Point q/k/v in global coordinates. The torch layout packs points as
         # (x..x y..y z..z); keep that exact layout so checkpoints convert
@@ -154,29 +180,22 @@ class InvariantPointAttention(nn.Module):
         kb, bb = self._linear_b()
         kdz, bdz = self._down_z()
 
-        from ..ops import ipa_attention as _ia
-
-        use_pallas = (not self.seq_axis
-                      and (self.use_pallas == "on"
-                           or (self.use_pallas == "auto"
-                               and _ia.is_supported())))
-
         if use_pallas:
             # custom_vjp wrappers: fused Pallas forward AND hand-written
-            # Pallas backward, so this path is live for training too.
-            flat = (q.reshape(B, L, H * C),
-                    k.reshape(B, L, H * C), v.reshape(B, L, H * C),
-                    q_pts.reshape(B, L, H * Pq * 3),
-                    k_pts.reshape(B, L, H * Pq * 3),
-                    v_pts.reshape(B, L, H * Pv * 3))
+            # Pallas backward, so this path is live for training too. The
+            # scalar q/k/v never leave `packed` (see the weight fold above).
+            flatp = (q_pts.reshape(B, L, H * Pq * 3),
+                     k_pts.reshape(B, L, H * Pq * 3),
+                     v_pts.reshape(B, L, H * Pv * 3))
             if proj is not None:
                 # Mega-fusion: proj was emitted by the previous block's
                 # EdgeTransition kernel; z is not read at all.
-                o, opt_flat, o_pair = _ia.ipa_attention_with_proj(
-                    *flat, proj, head_weights, mask)
+                o, opt_flat, o_pair = _ia.ipa_attention_packed_with_proj(
+                    packed, *flatp, proj, head_weights, mask, c_hidden=C)
             else:
-                o, opt_flat, o_pair = _ia.ipa_attention(
-                    *flat, z, kb, bb, kdz, bdz, head_weights, mask)
+                o, opt_flat, o_pair = _ia.ipa_attention_packed(
+                    packed, *flatp, z, kb, bb, kdz, bdz, head_weights, mask,
+                    c_hidden=C)
             o_pt = opt_flat.reshape(B, L, H * Pv, 3)
         else:
             # XLA attention path. In sequence-sharded mode the key-side
@@ -294,12 +313,24 @@ class InvariantPointAttention(nn.Module):
         o_pt_norm = jnp.sqrt(jnp.sum(o_pt.astype(jnp.float32) ** 2, axis=-1)
                              + self.eps).astype(o.dtype)  # (B, L, H*Pv)
 
-        # Concat order matches the reference: [o, o_pt x/y/z, norms, pair].
-        o_feats = jnp.concatenate(
-            [o, o_pt[..., 0], o_pt[..., 1], o_pt[..., 2], o_pt_norm, o_pair],
+        # Output projection, decomposed over the concat pieces: the reference
+        # concatenates [o, o_pt x/y/z, norms, pair] into a (B, L, 2688)
+        # tensor for one Dense — materializing a full extra copy of o
+        # (2048 of the 2688 lanes) per block. Splitting the matmul at the
+        # same row boundaries of the SAME kernel parameter is exact up to
+        # dot-order rounding, keeps the torch checkpoint layout, and lets o
+        # flow from the attention kernel straight into the MXU.
+        wout, bout = _DenseParams(
+            o.shape[-1] + 4 * H * Pv + o_pair.shape[-1],
+            s.shape[-1], kernel_init=INITS["final"], name="linear_out")()
+        dt_out = o.dtype
+        n1 = o.shape[-1]
+        rest = jnp.concatenate(
+            [o_pt[..., 0], o_pt[..., 1], o_pt[..., 2], o_pt_norm, o_pair],
             axis=-1)
-        return linear(s.shape[-1], init="final", dtype=self.dtype,
-                      name="linear_out")(o_feats)
+        w = wout.astype(dt_out)
+        return (jnp.dot(o, w[:n1]) + jnp.dot(rest, w[n1:])
+                + bout.astype(dt_out))
 
 
 class TranslationIPA(nn.Module):

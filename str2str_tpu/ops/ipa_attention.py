@@ -90,10 +90,16 @@ def _fwd_kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
     proj: (1, Qb, Cdz+H, L) [ONE fused z projection: down-projected pair
                             values (first Cdz channels) | sqrt(1/3)-scaled
                             pair bias per head]
-    outputs (head-major): o (1, H, Qb, C), opt (1, H, Qb, 3*Pv),
-                          opair (1, Qb, H, Cdz)
+    outputs: o (1, Qb, H*C) — written per head at lane offset h*C (C is a
+             lane multiple), so the consumer-side (B, Q, H*C) layout needs
+             NO head-major->flat relayout copy (that copy measured
+             ~0.2 ms/forward at B=50 L=128);
+             opt (1, H, Qb, 3*Pv) head-major (3Pv = 36 lanes is not
+             lane-aligned per head, so a flat layout would need unaligned
+             stores); opair (1, Qb, H, Cdz) — reshape-free to (B, Q, H*Cdz).
     """
     dt = v_ref.dtype
+    C = v_ref.shape[-1]
 
     ps = []
     for h in range(H):
@@ -106,8 +112,8 @@ def _fwd_kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
         ps.append(p)
 
-        o_ref[0, h] = jnp.dot(p, v_ref[0, h],
-                              preferred_element_type=jnp.float32).astype(dt)
+        o_ref[0, :, h * C:(h + 1) * C] = jnp.dot(
+            p, v_ref[0, h], preferred_element_type=jnp.float32).astype(dt)
         # o_pt: contract over keys against the pre-transposed (3Pv, L) block.
         opt_ref[0, h] = jax.lax.dot_general(
             p, vf_ref[0, h], (((1,), (1,)), ((), ())),
@@ -115,6 +121,53 @@ def _fwd_kernel(qhat_ref, khat_ref, v_ref, vf_ref, proj_ref,
 
     # o_pair[i, h, c] = sum_j p[h, i, j] * pz[i, c, j]: one batched MXU
     # contraction over keys, batched over query rows.
+    p_all = jnp.stack(ps, axis=1)  # (Qb, H, L)
+    opair_ref[0] = jax.lax.dot_general(
+        p_all, proj_ref[0][:, :Cdz, :], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dt)
+
+
+def _fwd_kernel_nat(qs_ref, ks_ref, v_ref, qp_ref, kp_ref, vf_ref, proj_ref,
+                    o_ref, opt_ref, opair_ref, *, H: int, Cdz: int):
+    """Packed-natural variant of `_fwd_kernel`: the scalar q/k/v operands
+    arrive in their NATURAL (rows, H*C) layout — in production all three are
+    lane-block views of the SAME packed node-projection tensor (the model
+    passes `packed` three times with different BlockSpec lane offsets), so
+    XLA emits no slice/split/transpose for them at all. The logit scale
+    sqrt(1/(3C)) is pre-folded into the q projection weights.
+
+    Per-head scalar work uses aligned lane slices (C is a lane multiple):
+      logits_h = qs[:, hC:(h+1)C] . ks[:, hC:(h+1)C]^T   (contract dim1/dim1)
+      o[:, hC:(h+1)C] = p @ v[:, hC:(h+1)C]              (natural)
+    The point-distance + rank-1 corrections + mask arrive as one small
+    head-major pair qp (1,H,Qb,3Pq+2) / kp (1,H,3Pq+2,L) — the only
+    remaining XLA prep is O(L)-sized point packing.
+    Outputs exactly as `_fwd_kernel`.
+    """
+    dt = v_ref.dtype
+    C = v_ref.shape[-1] // H
+
+    ps = []
+    for h in range(H):
+        sl = slice(h * C, (h + 1) * C)
+        logits = jax.lax.dot_general(
+            qs_ref[0, :, sl], ks_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (Qb, L)
+        logits = logits + jnp.dot(qp_ref[0, h], kp_ref[0, h],
+                                  preferred_element_type=jnp.float32)
+        logits = logits + proj_ref[0][:, Cdz + h, :].astype(jnp.float32)
+
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        ps.append(p)
+
+        o_ref[0, :, sl] = jnp.dot(
+            p, v_ref[0, :, sl], preferred_element_type=jnp.float32).astype(dt)
+        opt_ref[0, h] = jax.lax.dot_general(
+            p, vf_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+
     p_all = jnp.stack(ps, axis=1)  # (Qb, H, L)
     opair_ref[0] = jax.lax.dot_general(
         p_all, proj_ref[0][:, :Cdz, :], (((2,), (2,)), ((0,), (0,))),
@@ -343,6 +396,61 @@ def _prep_qk(q, k, v, q_pts, k_pts, v_pts, head_weights, mask, inf: float):
     return qhat, khat, v4, vf4
 
 
+def _prep_pts(q_pts, k_pts, v_pts, head_weights, mask, inf: float, H: int,
+              dt):
+    """Point-side operands for the packed-natural kernel: the per-head
+    sqrt(w_h·c_pt)-scaled point coords plus the rank-1 |q|²/|k|² distance
+    corrections and the additive mask, packed head-major (they are the only
+    operands that still need XLA-side packing — O(L)-sized).
+    Returns qp (B,H,Q,3Pq+2), kp (B,H,3Pq+2,L), vf4 (B,H,3Pv,L)."""
+    B, L, _ = k_pts.shape
+    Qtot = q_pts.shape[1]
+    Pq = q_pts.shape[-1] // (3 * H)
+    Pv = v_pts.shape[-1] // (3 * H)
+    pt_norm = math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
+    w = head_weights.astype(jnp.float32) * pt_norm        # (H,)
+    s_h = jnp.sqrt(w)
+
+    def heads(t, p):  # (B, N, H*p) -> (B, H, N, p)
+        return t.reshape(B, t.shape[1], H, p).transpose(0, 2, 1, 3)
+
+    qf = heads(q_pts, 3 * Pq).astype(jnp.float32)
+    kf = heads(k_pts, 3 * Pq).astype(jnp.float32)
+    qcorr = -0.5 * w[None, :, None] * jnp.sum(qf * qf, axis=-1)
+    kcorr = -0.5 * w[None, :, None] * jnp.sum(kf * kf, axis=-1)
+    kadd = kcorr + (inf * (mask.astype(jnp.float32) - 1.0))[:, None, :]
+
+    ones_q = jnp.ones((B, H, Qtot, 1), dt)
+    qp = jnp.concatenate(
+        [(qf * s_h[:, None, None]).astype(dt),
+         qcorr[..., None].astype(dt), ones_q], axis=-1)
+    ones_k = jnp.ones((B, H, 1, L), dt)
+    kp = jnp.concatenate(
+        [(kf * s_h[:, None, None]).astype(dt).transpose(0, 1, 3, 2),
+         ones_k, kadd[:, :, None, :].astype(dt)], axis=2)
+    vf4 = heads(v_pts, 3 * Pv).transpose(0, 1, 3, 2).astype(dt)
+    return qp, kp, vf4
+
+
+def _nat_to_core_ops(packed, qp, kp, H: int, C: int):
+    """Rebuild the head-major core operands (qhat, khat, v4) from the
+    packed-natural ones — used by the nat path's CPU/fallback forward and
+    by its backward (which reuses `_core_bwd_call` / `_core_reference`
+    unchanged; the extra transposes are training-only cost)."""
+    B, Qtot, _ = packed.shape
+    HC = H * C
+
+    def heads(t):  # (B, N, H*C) -> (B, H, N, C)
+        return t.reshape(B, t.shape[1], H, C).transpose(0, 2, 1, 3)
+
+    qs = heads(packed[..., :HC])
+    ks = heads(packed[..., HC:2 * HC])
+    v4 = heads(packed[..., 2 * HC:3 * HC])
+    qhat = jnp.concatenate([qs, qp], axis=-1)               # (B,H,Q,D2)
+    khat = jnp.concatenate([ks.transpose(0, 1, 3, 2), kp], axis=2)
+    return qhat, khat, v4
+
+
 def fold_proj_weights(kb, bb, kdz, bdz):
     """Fused [down_z | sqrt(1/3)*linear_b] projection weights.
     Returns wcat (Cz, Cdz+H) and bcat (Cdz+H,) in fp32."""
@@ -405,12 +513,12 @@ def _core_fwd_call(qhat, khat, v4, vf4, proj, qb: int):
             pl.BlockSpec((1, qb, Cdz + H, L), lambda b, i: (b, i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, qb, C), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, qb, H * C), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, H, qb, Pv3), lambda b, i: (b, 0, i, 0)),
             pl.BlockSpec((1, qb, H, Cdz), lambda b, i: (b, i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, Qtot, C), dt),
+            jax.ShapeDtypeStruct((B, Qtot, H * C), dt),
             jax.ShapeDtypeStruct((B, H, Qtot, Pv3), dt),
             jax.ShapeDtypeStruct((B, Qtot, H, Cdz), dt),
         ],
@@ -423,8 +531,11 @@ def _core_bwd_call(qhat, khat, v4, vf4, proj, do, dopt, dopair):
     # XLA-side prep (cheap next to the avoided [B,H,L,L] materializations):
     # operand transposes so every in-kernel matmul is Mosaic-fast, the
     # per-head bias planes, and the o_pair contribution to dp.
+    # do arrives flat (B, Q, H*C) — the forward's consumer layout; the
+    # head-major relayout moves to this backward (the forward is the path
+    # the sampler runs ~500x per conformation).
     qhatT = qhat.transpose(0, 1, 3, 2)
-    doc = do.astype(dt)
+    doc = do.reshape(B, Qtot, H, C).transpose(0, 2, 1, 3).astype(dt)
     doT = doc.transpose(0, 1, 3, 2)
     doptc = dopt.astype(dt)
     doptT = doptc.transpose(0, 1, 3, 2)
@@ -486,7 +597,8 @@ def _core_bwd_call(qhat, khat, v4, vf4, proj, do, dopt, dopair):
 
 def _core_reference(qhat, khat, v4, vf4, proj):
     """XLA oracle operating on the prepped operands (fallback when the
-    backward working set does not fit VMEM)."""
+    backward working set does not fit VMEM). o is emitted flat
+    (B, Q, H*C) to match the kernel's output contract."""
     B, H, Qtot, D2, L, C, Pv3, Cdz, _ = _core_shapes(qhat, khat, v4, vf4, proj)
     dt = v4.dtype
     logits = jnp.einsum("bhqd,bhdl->bhql", qhat, khat,
@@ -494,8 +606,9 @@ def _core_reference(qhat, khat, v4, vf4, proj):
     bias = proj[:, :, Cdz:, :].astype(jnp.float32)        # (B, Q, H, L)
     logits = logits + bias.transpose(0, 2, 1, 3)
     p = jax.nn.softmax(logits, axis=-1).astype(dt)
-    o = jnp.einsum("bhql,bhlc->bhqc", p, v4,
+    o = jnp.einsum("bhql,bhlc->bqhc", p, v4,
                    preferred_element_type=jnp.float32).astype(dt)
+    o = o.reshape(B, Qtot, H * C)
     opt = jnp.einsum("bhql,bhpl->bhqp", p, vf4,
                      preferred_element_type=jnp.float32).astype(dt)
     pz = proj[:, :, :Cdz, :]
@@ -653,6 +766,108 @@ def _attn_core_bwd(res, cts):
 _attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)
 
 
+def _core_fwd_call_nat(packed, qp, kp, vf4, proj, qb: int, C: int):
+    """Forward pallas_call for the packed-natural kernel. `packed` is handed
+    in THREE times with different lane-block offsets — q at lane block 0,
+    k at block 1, v at block 2 (HC-wide blocks; the point lanes past 3HC are
+    never touched) — so the kernel DMAs the scalar operands straight out of
+    the node projection's output with zero XLA formatting."""
+    B, Qtot, _ = packed.shape
+    H = qp.shape[1]
+    Dp = qp.shape[-1]
+    L = kp.shape[-1]
+    Pv3 = vf4.shape[2]
+    Cdz = proj.shape[2] - H
+    HC = H * C
+    dt = packed.dtype
+    kern = functools.partial(_fwd_kernel_nat, H=H, Cdz=Cdz)
+    return pl.pallas_call(
+        kern,
+        compiler_params=_cp(32 * 1024 * 1024),
+        grid=(B, Qtot // qb),
+        in_specs=[
+            pl.BlockSpec((1, qb, HC), lambda b, i: (b, i, 0)),    # q lanes
+            pl.BlockSpec((1, L, HC), lambda b, i: (b, 0, 1)),     # k lanes
+            pl.BlockSpec((1, L, HC), lambda b, i: (b, 0, 2)),     # v lanes
+            pl.BlockSpec((1, H, qb, Dp), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, Dp, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Pv3, L), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, qb, Cdz + H, L), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qb, HC), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, H, qb, Pv3), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, qb, H, Cdz), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Qtot, HC), dt),
+            jax.ShapeDtypeStruct((B, H, Qtot, Pv3), dt),
+            jax.ShapeDtypeStruct((B, Qtot, H, Cdz), dt),
+        ],
+    )(packed, packed, packed, qp, kp, vf4, proj)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attn_core_nat(C: int, packed, qp, kp, vf4, proj):
+    B, Qtot, _ = packed.shape
+    H = qp.shape[1]
+    L = kp.shape[-1]
+    Pv3 = vf4.shape[2]
+    Cdz = proj.shape[2] - H
+    Pq = (qp.shape[-1] - 2) // 3
+    qb = _pick_query_block(Qtot, L, H, C, Pq, Pv3 // 3, Cdz,
+                           jnp.dtype(packed.dtype).itemsize)
+    if qb is None or (_FORCE_QB is None and not is_supported()):
+        qhat, khat, v4 = _nat_to_core_ops(packed, qp, kp, H, C)
+        return _core_reference(qhat, khat, v4, vf4, proj)
+    return _core_fwd_call_nat(packed, qp, kp, vf4, proj, qb, C)
+
+
+def _attn_core_nat_fwd(C: int, packed, qp, kp, vf4, proj):
+    return (_attn_core_nat(C, packed, qp, kp, vf4, proj),
+            (packed, qp, kp, vf4, proj))
+
+
+def _attn_core_nat_bwd(C: int, res, cts):
+    """Backward of the packed-natural core: rebuild the head-major operands
+    in XLA (training-only transposes) and reuse the existing hand-written
+    backward kernel, then scatter the gradients back into packed-lane
+    layout (zeros over the point lanes — their grads flow through the
+    separate frame-application path outside this vjp boundary)."""
+    packed, qp, kp, vf4, proj = res
+    do, dopt, dopair = cts
+    B, Qtot, lanes = packed.shape
+    H = qp.shape[1]
+    HC = H * C
+    Pq = (qp.shape[-1] - 2) // 3
+    Pv3 = vf4.shape[2]
+    Cdz = proj.shape[2] - H
+    L = kp.shape[-1]
+    qhat, khat, v4 = _nat_to_core_ops(packed, qp, kp, H, C)
+    if not _bwd_supported(Qtot, L, H, C, Pq, Pv3 // 3, Cdz,
+                          jnp.dtype(v4.dtype).itemsize):
+        _, vjp = jax.vjp(_core_reference, qhat, khat, v4, vf4, proj)
+        dqhat, dkhat, dv4, dvf, dproj = vjp(cts)
+        dvT = dv4.transpose(0, 1, 3, 2)
+    else:
+        dqhat, dkhat, dvT, dvf, dproj = _core_bwd_call(
+            qhat, khat, v4, vf4, proj, do, dopt, dopair)
+    dt = packed.dtype
+    dqs = _unheads(dqhat[..., :C])
+    dqp = dqhat[..., C:]
+    dks = _unheads(dkhat[:, :, :C, :].transpose(0, 1, 3, 2))
+    dkp = dkhat[:, :, C:, :]
+    dv = _unheads(dvT.transpose(0, 1, 3, 2))
+    dpacked = jnp.concatenate(
+        [dqs.astype(dt), dks.astype(dt), dv.astype(dt),
+         jnp.zeros((B, Qtot, lanes - 3 * HC), dt)], axis=-1)
+    return (dpacked, dqp.astype(qp.dtype), dkp.astype(kp.dtype),
+            dvf.astype(vf4.dtype), dproj.astype(proj.dtype))
+
+
+_attn_core_nat.defvjp(_attn_core_nat_fwd, _attn_core_nat_bwd)
+
+
 # ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------
@@ -695,8 +910,8 @@ def ipa_attention(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
     qhat, khat, v4, vf4, proj = _prep(
         q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
         head_weights, mask, inf)
-    o4, opt4, opair = _attn_core(qhat, khat, v4, vf4, proj)
-    return _unheads(o4), _unheads(opt4), opair.reshape(B, Qtot, H * Cdz)
+    o, opt4, opair = _attn_core(qhat, khat, v4, vf4, proj)
+    return o, _unheads(opt4), opair.reshape(B, Qtot, H * Cdz)
 
 
 def ipa_attention_with_proj(q, k, v, q_pts, k_pts, v_pts, proj,
@@ -723,8 +938,48 @@ def ipa_attention_with_proj(q, k, v, q_pts, k_pts, v_pts, proj,
     # _attn_core falls back to the XLA oracle on the prepped operands when
     # the kernel envelope does not fit (e.g. L < 128) — no z needed either
     # way.
-    o4, opt4, opair = _attn_core(qhat, khat, v4, vf4, proj.astype(dt))
-    return _unheads(o4), _unheads(opt4), opair.reshape(B, Qtot, H * Cdz)
+    o, opt4, opair = _attn_core(qhat, khat, v4, vf4, proj.astype(dt))
+    return o, _unheads(opt4), opair.reshape(B, Qtot, H * Cdz)
+
+
+def ipa_attention_packed_with_proj(packed, q_pts, k_pts, v_pts, proj,
+                                   head_weights, mask, *, c_hidden: int,
+                                   inf: float = 1e5):
+    """Differentiable fused IPA attention consuming the PACKED node
+    projection directly (the production path; see `_fwd_kernel_nat`).
+
+    packed: (B, L, >=3*H*C) — lane layout [q_scaled | k | v | ...ignored]
+      where the q lanes carry the sqrt(1/(3C)) logit scale pre-folded into
+      the projection weights and k/v lanes are head-contiguous (the model
+      reorders the torch-layout kv weight columns at apply time; both folds
+      are weight-sized ops on loop invariants, hoisted out of the anneal
+      scan). The kernel DMAs its q/k/v blocks straight from this tensor —
+      the per-block slice/split/relayout chain the old path paid (~1.2 ms
+      per forward at B=50 L=128) does not exist here.
+    q_pts/k_pts/v_pts: (B, L, H*3P) frame-applied global point coords.
+    proj: (B, L, Cdz+H, L) fused z projection as in `ipa_attention_with_proj`.
+    Returns (o, o_pt_global, o_pair) with head-flattened channel layouts.
+    """
+    H = head_weights.shape[0]
+    C = c_hidden
+    B, L, _ = packed.shape
+    Cdz = proj.shape[2] - H
+    qp, kp, vf4 = _prep_pts(q_pts, k_pts, v_pts, head_weights, mask, inf,
+                            H, packed.dtype)
+    o, opt4, opair = _attn_core_nat(C, packed, qp, kp, vf4,
+                                    proj.astype(packed.dtype))
+    return o, _unheads(opt4), opair.reshape(B, L, H * Cdz)
+
+
+def ipa_attention_packed(packed, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
+                         head_weights, mask, *, c_hidden: int,
+                         inf: float = 1e5):
+    """`ipa_attention_packed_with_proj` computing the fused z projection
+    itself (one XLA pass over z — the non-mega-fusion entry)."""
+    proj = make_proj(z, kb, bb, kdz, bdz, packed.dtype)
+    return ipa_attention_packed_with_proj(
+        packed, q_pts, k_pts, v_pts, proj, head_weights, mask,
+        c_hidden=c_hidden, inf=inf)
 
 
 def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
@@ -750,8 +1005,8 @@ def ipa_attention_pallas(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
 
     ops = _prep(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,
                 head_weights, mask, inf)
-    o4, opt4, opair = _core_fwd_call(*ops, qb)
-    return _unheads(o4), _unheads(opt4), opair.reshape(B, Qtot, H * Cdz)
+    o, opt4, opair = _core_fwd_call(*ops, qb)
+    return o, _unheads(opt4), opair.reshape(B, Qtot, H * Cdz)
 
 
 def ipa_attention_reference(q, k, v, q_pts, k_pts, v_pts, z, kb, bb, kdz, bdz,

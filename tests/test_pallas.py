@@ -136,6 +136,84 @@ def test_ipa_attention_kernel_matches_reference(rng):
 
 
 @pytest.mark.slow
+def test_ipa_attention_packed_matches_reference(rng):
+    """Packed-natural kernel (q/k/v DMA'd straight from the packed node
+    projection, scale folded into the q lanes) == XLA oracle, forward AND
+    gradients (the backward rebuilds head-major operands and reuses the
+    hand-written backward kernel)."""
+    import math
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    from str2str_tpu.ops import ipa_attention as IA
+
+    B, L, H, C, Pq, Pv, Cz = 2, 32, 4, 16, 4, 6, 24
+    def r(*s, sc=0.5):
+        return jnp.asarray(rng.randn(*s) * sc, jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[:, -5:] = 0
+    m = jnp.asarray(mask)
+    q, k, v = r(B, L, H * C), r(B, L, H * C), r(B, L, H * C)
+    qp, kp, vp = r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pv)
+    z, kb, bb = r(B, L, L, Cz), r(Cz, H), r(H, sc=0.1)
+    kdz, bdz = r(Cz, Cz // 4), r(Cz // 4, sc=0.1)
+    hw = jnp.abs(r(H)) + 0.5
+
+    ref = IA.ipa_attention_reference(q, k, v, qp, kp, vp, z, kb, bb,
+                                     kdz, bdz, hw, m)
+    scale = math.sqrt(1.0 / (3 * C))
+    packed = jnp.concatenate([q * scale, k, v, r(B, L, 40)], -1)
+
+    real_call = pl.pallas_call
+
+    def fake_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    prev = IA._FORCE_QB
+    IA._FORCE_QB = 16
+    try:
+        with mock.patch.object(pl, "pallas_call", fake_call):
+            out = IA.ipa_attention_packed(packed, qp, kp, vp, z, kb, bb,
+                                          kdz, bdz, hw, m, c_hidden=C)
+        mm = mask[..., None]
+        for name, a, b in zip(("o", "opt", "opair"), ref, out):
+            np.testing.assert_allclose(np.asarray(a) * mm, np.asarray(b) * mm,
+                                       atol=3e-5, rtol=1e-4, err_msg=name)
+
+        def loss_nat(packed_, qp_, kp_, vp_, z_):
+            o, opt, opair = IA.ipa_attention_packed(
+                packed_, qp_, kp_, vp_, z_, kb, bb, kdz, bdz, hw, m,
+                c_hidden=C)
+            w = m[..., None]
+            return (jnp.sum((o * w) ** 2) * 0.5
+                    + jnp.sum((opt * w) ** 2) * 0.25
+                    + jnp.sum((opair * w) ** 2) * 0.125)
+
+        def loss_ref(packed_, qp_, kp_, vp_, z_):
+            qq = packed_[..., :H * C] / scale
+            kk = packed_[..., H * C:2 * H * C]
+            vv = packed_[..., 2 * H * C:3 * H * C]
+            o, opt, opair = IA.ipa_attention_reference(
+                qq, kk, vv, qp_, kp_, vp_, z_, kb, bb, kdz, bdz, hw, m)
+            w = m[..., None]
+            return (jnp.sum((o * w) ** 2) * 0.5
+                    + jnp.sum((opt * w) ** 2) * 0.25
+                    + jnp.sum((opair * w) ** 2) * 0.125)
+
+        with mock.patch.object(pl, "pallas_call", fake_call):
+            g_nat = jax.grad(loss_nat, argnums=(0, 1, 2, 3, 4))(
+                packed, qp, kp, vp, z)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            packed, qp, kp, vp, z)
+        for name, a, b in zip(("packed", "qpts", "kpts", "vpts", "z"),
+                              g_nat, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-3, err_msg=name)
+    finally:
+        IA._FORCE_QB = prev
+
+
+@pytest.mark.slow
 def test_ipa_module_paths_match(rng):
     """InvariantPointAttention with use_pallas on (interpreted) == off,
     for real (unmasked) rows."""
