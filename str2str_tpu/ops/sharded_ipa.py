@@ -25,7 +25,7 @@ import math
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from str2str_tpu.parallel.compat import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.mesh import DATA_AXIS

@@ -168,7 +168,7 @@ class Sampler:
         Returns dict with atom37 (B, L, 37, 3) and rigids (B, L, 7).
         """
         if self.seq_mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from str2str_tpu.parallel.compat import shard_map
             from jax.sharding import PartitionSpec as P
             # All inputs/outputs replicated; the sharding is internal (each
             # device holds its column shard of the edge tensors and the
@@ -293,7 +293,7 @@ class Sampler:
         (n_slots, B, L, 7), psi (n_slots, B, L, 2) and atom37_mask (B, L, 37).
         """
         if self.seq_mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from str2str_tpu.parallel.compat import shard_map
             from jax.sharding import PartitionSpec as P
             fn = shard_map(
                 partial(self._run_chained_impl, n_slots), mesh=self.seq_mesh,
@@ -432,7 +432,7 @@ class Sampler:
         SamplerConfig.max_steps_per_dispatch). The carry is donated, so the
         slot buffers update in place across dispatches."""
         if self.seq_mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from str2str_tpu.parallel.compat import shard_map
             from jax.sharding import PartitionSpec as P
             fn = shard_map(
                 self._chained_scan, mesh=self.seq_mesh,

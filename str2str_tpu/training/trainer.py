@@ -191,7 +191,7 @@ class Trainer:
             rngs = None if drop_key is None else {"dropout": drop_key}
             return self.net.apply(params, net_batch,
                                   deterministic=deterministic, rngs=rngs)
-        from jax.experimental.shard_map import shard_map
+        from str2str_tpu.parallel.compat import shard_map
         from jax.sharding import PartitionSpec as P
         if drop_key is None:  # unused under deterministic=True
             drop_key = jax.random.PRNGKey(0)

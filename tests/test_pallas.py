@@ -714,7 +714,7 @@ def test_seq_sharded_trunk_kernel_path_matches_xla(rng):
     import unittest.mock as mock
     from unittest.mock import patch
     from jax.experimental import pallas as pl
-    from jax.experimental.shard_map import shard_map
+    from str2str_tpu.parallel.compat import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     devs = np.array(jax.devices()[:2])

@@ -53,7 +53,7 @@ def _batch(rng, B, L):
 
 
 def test_seq_sharded_network_matches_unsharded(rng):
-    from jax.experimental.shard_map import shard_map
+    from str2str_tpu.parallel.compat import shard_map
     from jax.sharding import PartitionSpec as P
 
     B, L = 2, 64
@@ -151,7 +151,7 @@ def test_seq_sharded_1024mer_end_to_end(rng):
     devs = np.array(jax.devices()[:8])
     mesh = Mesh(devs, ("seq",))
     snet = ScoreNetwork(_small_cfg(seq_axis="seq"))
-    from jax.experimental.shard_map import shard_map
+    from str2str_tpu.parallel.compat import shard_map
     from jax.sharding import PartitionSpec as P
     init_fn = shard_map(
         lambda b: ScoreNetwork(_small_cfg(seq_axis="seq")).init(
@@ -174,7 +174,7 @@ def test_seq_sharded_kernel_attention_matches_xla(rng):
     match the sharded XLA path on the CPU mesh."""
     import unittest.mock as mock
     from jax.experimental import pallas as pl
-    from jax.experimental.shard_map import shard_map
+    from str2str_tpu.parallel.compat import shard_map
     from jax.sharding import PartitionSpec as P
     from str2str_tpu.ops import ipa_attention as IA
 
