@@ -123,8 +123,14 @@ def _kernel_proj(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
 
 def _pick_block(Lr: int, Lc: int, D: int, itemsize: int):
     if Lc < 128:
-        # Sub-tile lane widths hit unsupported Mosaic relayouts (and there
-        # is nothing to win at tiny L) -> XLA path.
+        # Sub-tile lane widths are NOT safe: a round-5 attempt to admit
+        # L=64 (full-dim lane blocks are Mosaic-legal by the shape rules)
+        # MISCOMPILED on the real chip — silent parity error 1.3e-1 at
+        # B=50/L=64 (scripts/bench_l64_kernels.py) and an
+        # "infer-vector-layout: unsupported shape cast" hard failure in the
+        # full net. Keep the XLA path below one full lane tile; the L=64
+        # eval bucket is made fast by the chained-sampler overhead fixes
+        # instead (sampler.py round-5 notes).
         return None
     budget = 11 * 1024 * 1024
     for qb in (64, 32, 16, 8):

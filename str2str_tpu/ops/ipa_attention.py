@@ -294,27 +294,32 @@ def _pick_query_block(Qtot: int, L: int, H: int, C: int, Pq: int, Pv: int,
         return _FORCE_QB
     D2 = C + 3 * Pq + 2
     lanes = 128
-    if L < lanes:
-        # Sub-tile lane widths hit unsupported Mosaic relayouts (and the
-        # kernel has nothing to win at tiny L) -> XLA path.
+    if L < 128:
+        # Sub-tile lane widths are NOT safe: the round-5 attempt to admit
+        # L=64 (legal-looking full-dim lane blocks) miscompiled on the real
+        # chip — silent parity error at B=50/L=64 plus a Mosaic
+        # "unsupported shape cast" failure in the full net
+        # (scripts/bench_l64_kernels.py). XLA path below one lane tile; the
+        # L=64 eval bucket is carried by the chained-sampler overhead fixes.
         return None
 
     def pad(n):  # lane padding of a trailing dim
         return -(-n // lanes) * lanes
 
-    fixed = 2 * (H * D2 * L           # khat (lanes = L, no pad for L >= 128)
-                 + H * L * C          # v
-                 + H * (3 * Pv + 8) * L  # vf, sublane-padded
+    Lp = pad(L)  # L is a LANE dim in khat/vf/proj: physically lane-padded
+    fixed = 2 * (H * D2 * Lp          # khat (lanes = L)
+                 + H * Lp * C         # v
+                 + H * (3 * Pv + 8) * Lp  # vf, sublane-padded
                  ) * itemsize
     budget = 15 * 1024 * 1024
     for qb in (128, 64, 32, 16, 8):
         if qb > Qtot or Qtot % qb:
             continue
-        per_q = (2 * qb * (Cdz + H) * L * itemsize   # fused projection tile
+        per_q = (2 * qb * (Cdz + H) * Lp * itemsize  # fused projection tile
                  + 2 * qb * pad(D2) * H * itemsize   # qhat
-                 + qb * H * L * itemsize             # stacked attn weights
+                 + qb * H * Lp * itemsize            # stacked attn weights
                  + 2 * qb * (C + pad(3 * Pv) + pad(Cdz)) * H * itemsize  # outs
-                 + 6 * qb * L * 4)                   # logits/exp f32 temps
+                 + 6 * qb * Lp * 4)                  # logits/exp f32 temps
         if fixed + per_q <= budget:
             return qb
     return None

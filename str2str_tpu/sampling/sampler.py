@@ -303,16 +303,21 @@ class Sampler:
                                       ts, dts, init_f, final_f, slot, local)
 
     def _chained_init_carry(self, n_slots, feats):
-        """(state, sc_ca, atom37/rigid/psi slot buffers) — the cross-chunk
-        scan carry. Chunked dispatches thread it device-to-device (donated);
-        the one-shot path builds it inside the jit."""
+        """(state, sc_ca, rigid/psi slot buffers) — the cross-chunk scan
+        carry. Chunked dispatches thread it device-to-device (donated); the
+        one-shot path builds it inside the jit.
+
+        The carry holds only the (S, B, L, 7) rigids and (S, B, L, 2) psi
+        per slot — atom37 (37x3 floats/residue, ~40x the bytes) is rebuilt
+        from them ONCE after the scan (`_chained_outputs`). Carrying the
+        atom37 buffer instead costs a buffer-sized copy chain through every
+        scan step's slot-write cond (measured ~2x per-step at L=64 B=50)."""
         residue_mask = feats["residue_mask"].astype(jnp.float32)
         B, L = residue_mask.shape
         gt_rigids = Rigid.from_tensor_4x4(
             feats["rigidgroups_gt_frames"][..., 0, :, :].astype(jnp.float32))
         state_0 = FrameState.from_rigid(gt_rigids)
         return (state_0, jnp.zeros_like(state_0.trans),
-                jnp.zeros((n_slots, B, L, 37, 3), jnp.float32),
                 jnp.zeros((n_slots, B, L, 7), jnp.float32),
                 jnp.zeros((n_slots, B, L, 2), jnp.float32))
 
@@ -345,15 +350,19 @@ class Sampler:
         net_apply = self._make_net_apply(params, feats, residue_mask,
                                          fixed_mask)
 
-        def step(carry, inp):
-            state, sc_ca, b37, br, bpsi = carry
-            t_i, dt_i, ini, fin, s_i, loc = inp
-            tb = jnp.full((B,), t_i, jnp.float32)
+        # Segment keys: a function of (slot, local step) ONLY, so a
+        # segment's trajectory cannot depend on its position in the chain.
+        # Precomputed VECTORIZED before the scan (one batched threefry pass,
+        # bitwise-identical to per-step fold_in chains) instead of three
+        # sequential hashes on the scan's critical path.
+        k_seg_all = jax.vmap(lambda s: jax.random.fold_in(k_fwd, s))(slot)
+        k_rev_all = jax.vmap(lambda s, l: jax.random.fold_in(
+            jax.random.fold_in(k_anneal, s), l))(slot, local)
 
-            # Segment keys: a function of (slot, local step) ONLY, so a
-            # segment's trajectory cannot depend on its position in the chain.
-            k_seg = jax.random.fold_in(k_fwd, s_i)
-            k_rev = jax.random.fold_in(jax.random.fold_in(k_anneal, s_i), loc)
+        def step(carry, inp):
+            state, sc_ca, br, bpsi = carry
+            t_i, dt_i, ini, fin, s_i, loc, k_seg, k_rev = inp
+            tb = jnp.full((B,), t_i, jnp.float32)
 
             # Segment re-init happens on ~0.2% of steps; lax.cond keeps the
             # IGSO(3) inverse-CDF sampling off the other 99.8%.
@@ -389,41 +398,48 @@ class Sampler:
                 jnp.where(adv, next_state.trans, state.trans))
 
             # Only a segment's FINAL x0 prediction is kept; lax.cond keeps
-            # the atom37 rebuild + slot writes off every non-final step
-            # (they were last-write-wins before, same result).
+            # the slot writes off every non-final step (they were
+            # last-write-wins before, same result). atom37 is NOT built or
+            # carried here — `_chained_outputs` rebuilds it from the rigid +
+            # psi slots once after the scan.
             def _write_slots(bufs):
-                b37_, br_, bpsi_ = bufs
-                atom37, _, _ = compute_backbone(
-                    pred_state.to_rigid(), out["psi"], feats["aatype"])
-                b37_ = jax.lax.dynamic_update_slice(
-                    b37_, atom37[None].astype(jnp.float32), (s_i, 0, 0, 0, 0))
+                br_, bpsi_ = bufs
                 br_ = jax.lax.dynamic_update_slice(
                     br_, pred_state.to_tensor_7()[None].astype(jnp.float32),
                     (s_i, 0, 0, 0))
                 bpsi_ = jax.lax.dynamic_update_slice(
                     bpsi_, out["psi"][None].astype(jnp.float32),
                     (s_i, 0, 0, 0))
-                return b37_, br_, bpsi_
+                return br_, bpsi_
 
-            b37, br, bpsi = jax.lax.cond(
-                fin > 0, _write_slots, lambda bufs: bufs, (b37, br, bpsi))
-            return (state, sc_next, b37, br, bpsi), None
+            br, bpsi = jax.lax.cond(
+                fin > 0, _write_slots, lambda bufs: bufs, (br, bpsi))
+            return (state, sc_next, br, bpsi), None
 
         carry, _ = jax.lax.scan(
-            step, carry, (ts, dts, init_f, final_f, slot, local))
+            step, carry,
+            (ts, dts, init_f, final_f, slot, local, k_seg_all, k_rev_all))
         return carry
 
+    @partial(jax.jit, static_argnums=(0,))
     def _chained_outputs(self, feats, carry):
-        _, _, buf37, bufr, bufpsi = carry
+        """Rebuild atom37 for every slot from the carried rigids/psi (one
+        batched compute_backbone over S*B rows — identical values to the
+        in-scan rebuild this replaces, without the 37x3-float slot buffer
+        riding through every scan step)."""
+        _, _, bufr, bufpsi = carry
         residue_mask = feats["residue_mask"]
         B, L = residue_mask.shape
-        gt_rigids = Rigid.from_tensor_4x4(
-            feats["rigidgroups_gt_frames"][..., 0, :, :].astype(jnp.float32))
-        _, atom37_mask, _ = compute_backbone(
-            FrameState.from_rigid(gt_rigids).to_rigid(),
-            jnp.zeros((B, L, 2), jnp.float32), feats["aatype"])
-        return {"atom37": buf37, "rigids": bufr, "psi": bufpsi,
-                "atom37_mask": atom37_mask}
+        S = bufr.shape[0]
+        state = FrameState(bufr[..., :4].reshape(S * B, L, 4),
+                           bufr[..., 4:].reshape(S * B, L, 3))
+        aatype = jnp.broadcast_to(feats["aatype"][None], (S,) + feats["aatype"].shape)
+        atom37, atom37_mask, _ = compute_backbone(
+            state.to_rigid(), bufpsi.reshape(S * B, L, 2),
+            aatype.reshape(S * B, L))
+        return {"atom37": atom37.reshape(S, B, L, 37, 3),
+                "rigids": bufr, "psi": bufpsi,
+                "atom37_mask": atom37_mask[:B]}
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(4,))
     def run_chained_chunk(self, params, key, feats, carry,
@@ -553,6 +569,14 @@ class Sampler:
         pad = (-n_rows) % B
         if pad:  # cycle rows so padded chains still anneal real targets
             row_targets = np.concatenate([row_targets, row_targets[:pad]])
+            # No silent caps: each padded row is a full-length anneal chain
+            # whose output is discarded — surface the waste so a small-K /
+            # large-replica_per_batch run can be re-shaped deliberately.
+            _log.info(
+                "multi-target packing: final chunk padded with %d cycled "
+                "row(s) (%.0f%% of device time in that chunk is discarded); "
+                "K=%d targets x %d rows/target, B=%d",
+                pad, 100.0 * pad / B, K, rows_per_target, B)
 
         sched, n_slots = build_chained_schedule(
             deltas, repeats, cfg.num_timesteps, cfg.min_t)
