@@ -273,19 +273,33 @@ def run_torch(args, out_dir: Path):
     total_jobs = len(deltas) * -(-args.n_replica // B)
     done = 0
     for t_delta in deltas:
+        # Per-delta checkpoint: long full-protocol runs (hours on this
+        # single-core host) salvage completed deltas across restarts. NOTE:
+        # the torch global-RNG stream differs on resume (fresh manual_seed,
+        # deltas skipped) — fine for distributional comparison, which is the
+        # only use of this ensemble.
+        dpath = out_dir / f"torch_ref_delta{t_delta:.2f}.npy"
+        if dpath.exists() and not args.force:
+            print(f"[torch] {dpath} exists, skipping delta {t_delta}")
+            ensembles.append(np.load(dpath))
+            done += -(-args.n_replica // B)
+            continue
+        delta_ens = []
         left = args.n_replica
         while left > 0:
             take = min(B, left)
             rigids_0 = Rigid.from_tensor_4x4(
                 gt_rigids_4x4.repeat(take, 1, 1, 1))
             atom37 = forward_backward(rigids_0, float(t_delta))
-            ensembles.append(atom37[:take])
+            delta_ens.append(atom37[:take])
             left -= take
             done += 1
             el = time.time() - t_start
             print(f"[torch] delta={t_delta} job {done}/{total_jobs} "
                   f"({el:.0f}s elapsed, ~{el / done * (total_jobs - done):.0f}s left)",
                   flush=True)
+        np.save(dpath, np.concatenate(delta_ens, axis=0).astype(np.float32))
+        ensembles.extend(delta_ens)
     atom37 = np.concatenate(ensembles, axis=0)
     np.save(path, atom37.astype(np.float32))
     print(f"[torch] {atom37.shape[0]} conformations (L={L}) "
@@ -302,9 +316,34 @@ def run_metrics(args, out_dir: Path):
         a37 = np.load(path)
         return a37[:, :, 1, :]
 
-    torch_ca = ca(out_dir / "torch_ref.npy")
-    jax_a = ca(out_dir / f"jax_seed{args.seeds[0]}.npy")
-    jax_b = ca(out_dir / f"jax_seed{args.seeds[1]}.npy")
+    # Partial-grid fallback: a torch phase interrupted mid-grid leaves only
+    # the per-delta checkpoints (ascending deltas complete first). Compare
+    # on the completed PREFIX of the grid, slicing the jax ensembles (which
+    # are concatenated in ascending-delta order, n_replica rows per delta)
+    # to the same deltas, and record which grid was actually compared.
+    grid = delta_grid(args)
+    full_path = out_dir / "torch_ref.npy"
+    if full_path.exists():
+        torch_ca = ca(full_path)
+        used_deltas = [float(d) for d in grid]
+    else:
+        parts, used_deltas = [], []
+        for d in grid:
+            dpath = out_dir / f"torch_ref_delta{d:.2f}.npy"
+            if not dpath.exists():
+                break
+            parts.append(np.load(dpath))
+            used_deltas.append(float(d))
+        if not parts:
+            raise FileNotFoundError(f"{full_path} (and no per-delta files)")
+        print(f"[metrics] torch grid incomplete: comparing the completed "
+              f"prefix {used_deltas} ({len(used_deltas)}/{len(grid)} deltas)")
+        torch_ca = np.concatenate(parts, axis=0)[:, :, 1, :]
+    n_rows = args.n_replica * len(used_deltas)
+
+    jax_a = ca(out_dir / f"jax_seed{args.seeds[0]}.npy")[:n_rows]
+    jax_b = ca(out_dir / f"jax_seed{args.seeds[1]}.npy")[:n_rows]
+    assert torch_ca.shape[0] == n_rows, (torch_ca.shape, n_rows)
 
     def js(a, b):
         d = {"target": b, "pred": a}
@@ -323,6 +362,8 @@ def run_metrics(args, out_dir: Path):
         "n_conf": int(torch_ca.shape[0]),
         "num_timesteps": args.num_timesteps,
         "dtype": args.dtype,
+        "deltas_compared": used_deltas,
+        "grid_complete": len(used_deltas) == len(grid),
         "rows": rows,
     }
     (out_dir / "crossparity.json").write_text(json.dumps(result, indent=2))

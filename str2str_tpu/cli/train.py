@@ -48,6 +48,9 @@ def main(argv=None):
         metadata_filter=MetadataFilter(
             **(cfg.data.dataset.get("metadata_filter") or {})),
         seed=cfg.data.get("generator_seed", 42),
+        # Same accession filter the sampling CLI honors — e.g. holdout
+        # training that excludes evaluation targets by listing the rest.
+        accession_codes=cfg.data.dataset.get("accession_code_filter"),
         path_to_seq_embedding=cfg.data.dataset.get("path_to_seq_embedding"))
     train_idx, val_idx = split_dataset(
         len(ds), tuple(cfg.data.get("train_val_split", (0.95, 0.05))),
