@@ -89,7 +89,7 @@ def synthetic_protein(n: int, seed: int = 0):
         strip_missing_residues=False, recenter_and_scale=False), bucket=n)
 
 
-def measure_tpu_nfe_rate() -> float:
+def measure_tpu_nfe_rate(batch_size: int = B) -> float:
     import jax
     import jax.numpy as jnp
     from str2str_tpu.config.core import load_config
@@ -105,7 +105,7 @@ def measure_tpu_nfe_rate() -> float:
     sampler = build_sampler(cfg, net, diffuser)
 
     feats = synthetic_protein(L)
-    batch = {k: jnp.asarray(np.broadcast_to(v, (B,) + v.shape))
+    batch = {k: jnp.asarray(np.broadcast_to(v, (batch_size,) + v.shape))
              for k, v in feats.items() if isinstance(v, np.ndarray)}
 
     from str2str_tpu.cli.sample import example_net_batch
@@ -114,14 +114,14 @@ def measure_tpu_nfe_rate() -> float:
     def timed_run(t_steps: int) -> float:
         num_timesteps = int(t_steps / DELTA)
         ts, dt, active = build_schedule(
-            np.full((B,), DELTA, np.float32), num_timesteps, 0.01)
+            np.full((batch_size,), DELTA, np.float32), num_timesteps, 0.01)
         out = sampler.run(params, jax.random.PRNGKey(1), batch, ts, dt, active)
         jax.block_until_ready(out["atom37"])  # includes compile on first call
         t0 = time.perf_counter()
         out = sampler.run(params, jax.random.PRNGKey(2), batch, ts, dt, active)
         jax.block_until_ready(out["atom37"])
         elapsed = time.perf_counter() - t0
-        nfes = (ts.shape[0] + 2) * B
+        nfes = (ts.shape[0] + 2) * batch_size
         return nfes / elapsed
 
     return timed_run(T_BENCH)
@@ -204,9 +204,17 @@ def measure_torch_baseline_nfe_rate() -> float | None:
 A100_BOUND_NFE_PER_SEC = 350.0
 
 
+PROTOCOL_B = 50  # the eval protocol's replica_per_batch (SamplerConfig)
+
+
 def main():
     try:
         nfe_rate = measure_tpu_nfe_rate()
+        # Protocol-shape row: the real workload runs replica_per_batch=50
+        # device batches (sampler.py SamplerConfig), so BENCH also records
+        # that shape alongside the historical B=8 headline.
+        nfe_rate_b50 = (nfe_rate if B == PROTOCOL_B
+                        else measure_tpu_nfe_rate(PROTOCOL_B))
     except Exception as e:  # chip unavailable / backend error: emit an
         # honest machine-readable line instead of a bare traceback.
         last = None
@@ -226,16 +234,20 @@ def main():
         }))
         raise
     conf_per_sec = nfe_rate / NFE_PER_CONF
+    conf_per_sec_b50 = nfe_rate_b50 / NFE_PER_CONF
     base_rate = measure_torch_baseline_nfe_rate()
     vs_cpu = (nfe_rate / base_rate) if base_rate else None
-    try:
-        LAST_GOOD_FILE.write_text(json.dumps({
-            "value": round(conf_per_sec, 4), "unit": "conf/s",
-            "nfe_per_sec": round(nfe_rate, 1),
-            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }, indent=1) + "\n")
-    except OSError:
-        pass
+    if L == 256 and B == 8:  # only the headline shape updates the committed
+        try:                 # record (ad-hoc BENCH_LEN/BENCH_BATCH runs don't)
+            LAST_GOOD_FILE.write_text(json.dumps({
+                "value": round(conf_per_sec, 4), "unit": "conf/s",
+                "nfe_per_sec": round(nfe_rate, 1),
+                "value_b50": round(conf_per_sec_b50, 4),
+                "nfe_per_sec_b50": round(nfe_rate_b50, 1),
+                "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }, indent=1) + "\n")
+        except OSError:
+            pass
     print(json.dumps({
         "metric": f"conformations/sec/chip @ L={L} (reference delta-grid protocol)",
         "value": round(conf_per_sec, 4),
@@ -244,6 +256,9 @@ def main():
         "vs_baseline": round(nfe_rate / A100_BOUND_NFE_PER_SEC, 2),
         "vs_host_cpu_torch": round(vs_cpu, 2) if vs_cpu else None,
         "nfe_per_sec": round(nfe_rate, 1),
+        # the protocol shape: replica_per_batch=50 device batches
+        "value_b50": round(conf_per_sec_b50, 4),
+        "nfe_per_sec_b50": round(nfe_rate_b50, 1),
     }))
 
 

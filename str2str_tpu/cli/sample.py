@@ -80,9 +80,13 @@ def run(cfg) -> str:
     all_delta_dir = output_dir / "all_delta"
     all_delta_dir.mkdir(parents=True, exist_ok=True)
 
-    def write_target(code, feats, ensembles, dt_s):
+    def write_target(code, feats, ensembles, dt_s, avg=False):
         n_conf = sum(v.shape[0] for v in ensembles.values())
-        log.info(f"[{code}] {n_conf} conformations in {dt_s:.1f}s "
+        # In packed mode the per-target time is the BUCKET-AVERAGE (targets
+        # share device batches, so no exact per-target wall exists); the
+        # per-bucket wall is logged separately at the call site.
+        how = "bucket-average " if avg else ""
+        log.info(f"[{code}] {n_conf} conformations in {how}{dt_s:.1f}s "
                  f"({n_conf / dt_s:.2f} conf/s) at L_pad={feats['aatype'].shape[0]}")
         # Write per-delta PDBs + merged ensemble (unpadded region only).
         # Use the FEATURIZED length, not the raw protein's: strip_ends /
@@ -125,6 +129,9 @@ def run(cfg) -> str:
     pack = chained and bool(cfg.model.inference.get("pack_targets", True))
 
     if profile_dir:
+        # NOTE: in packed mode this trace spans the ENTIRE multi-bucket run
+        # (the unpacked path traces per-target work serially) — profile
+        # directories are not comparable across the two modes.
         jax.profiler.start_trace(str(profile_dir))
     if pack:
         # Group targets by padded length; each group is sampled through
@@ -141,7 +148,7 @@ def run(cfg) -> str:
             log.info(f"bucket L={L_pad}: {len(idxs)} targets in {dt_s:.1f}s")
             for i, ens in zip(idxs, ens_list):
                 write_target(entries[i][0], entries[i][1], ens,
-                             dt_s / len(idxs))
+                             dt_s / len(idxs), avg=True)
     else:
         for i, (code, feats) in enumerate(entries):
             t0 = time.time()

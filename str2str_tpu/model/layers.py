@@ -178,7 +178,16 @@ class EdgeTransition(nn.Module):
         base_args = (z, ni1, nj1, nfi, nfj,
                      k1[:c_edge], k2, kf, kf[:c_edge], b1, b2, bf,
                      ln_scale, ln_bias)
-        if self.dots_int8 and use_pallas:
+        if self.dots_int8:
+            if not use_pallas:
+                # Never measure the fp path while reporting the int8 config:
+                # there is no XLA int8 fallback, so a silent no-op would
+                # invalidate any benchmark/eval run with this flag set.
+                raise ValueError(
+                    "edge_dots_int8=True requires the Pallas TPU path "
+                    f"(use_pallas={self.use_pallas!r}, "
+                    f"tpu={_em.is_supported()}); unset the flag or run on "
+                    "TPU with use_pallas=auto/on")
             out = _em.edge_mlp_pallas(*base_args, proj_w=proj_w,
                                       need_out=need_out, int8_dots=True)
             if proj_w is not None and not need_out:

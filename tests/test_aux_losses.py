@@ -303,6 +303,7 @@ def test_clash_loss_matches_reference(rng):
 
 
 @pytest.mark.parity
+@pytest.mark.slow
 def test_find_structural_violations_matches_reference(rng, monkeypatch):
     """find_structural_violations + compute_violation_metrics +
     violation_loss == reference loss.py:1107/1274/1333. The reference's

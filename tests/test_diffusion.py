@@ -95,6 +95,7 @@ def test_r3_forward_score_is_gaussian_score(r3):
     np.testing.assert_allclose(np.asarray(score), np.asarray(expected), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_se3_forward_score_consistency(so3, r3):
     """Scores returned by forward_marginal must equal SE3Diffusion.score of
     the perturbed state given the clean state."""
@@ -133,6 +134,7 @@ def test_se3_reverse_shapes_and_mask(so3, r3):
     assert not np.allclose(np.asarray(out.trans[:, :5]), np.asarray(state.trans[:, :5]))
 
 
+@pytest.mark.slow
 def test_reverse_anneal_recovers_structure(so3, r3):
     """Forward-perturb a tiny amount then reverse with the exact score: the
     final state should be closer to the original than the perturbed one."""

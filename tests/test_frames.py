@@ -100,6 +100,7 @@ def test_parity_with_reference_transforms(rng, reference_available):
 
 
 @pytest.mark.parity
+@pytest.mark.slow
 def test_parity_compute_backbone(rng, reference_available):
     if not reference_available:
         pytest.skip("no reference checkout")

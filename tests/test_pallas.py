@@ -805,3 +805,79 @@ def test_edge_embed_kernel_rectangular_matches_reference(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4,
                                    err_msg=f"grad argnum {i}")
+
+
+# ---------------------------------------------------------------------------
+# Fast-tier kernel smokes (round-4 advice): one CHEAP interpreted-mode
+# forward-parity test per rewritten kernel, so a plain `pytest` run (slow
+# marker deselected) still exercises every kernel path. The heavy parity /
+# gradient tests above stay in the slow tier (`make test-all`).
+
+
+def test_ipa_attention_packed_fast_smoke(rng):
+    """Tiny-shape packed-natural IPA kernel == XLA oracle (forward only)."""
+    import math
+    from str2str_tpu.ops import ipa_attention as IA
+
+    B, L, H, C, Pq, Pv, Cz = 1, 16, 2, 8, 2, 3, 8
+
+    def r(*s, sc=0.5):
+        return jnp.asarray(rng.randn(*s) * sc, jnp.float32)
+
+    mask = np.ones((B, L), np.float32)
+    mask[:, -3:] = 0
+    m = jnp.asarray(mask)
+    q, k, v = r(B, L, H * C), r(B, L, H * C), r(B, L, H * C)
+    qp, kp, vp = r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pq), r(B, L, H * 3 * Pv)
+    z, kb, bb = r(B, L, L, Cz), r(Cz, H), r(H, sc=0.1)
+    kdz, bdz = r(Cz, Cz // 4), r(Cz // 4, sc=0.1)
+    hw = jnp.abs(r(H)) + 0.5
+
+    ref = IA.ipa_attention_reference(q, k, v, qp, kp, vp, z, kb, bb,
+                                     kdz, bdz, hw, m)
+    packed = jnp.concatenate([q * math.sqrt(1.0 / (3 * C)), k, v], -1)
+    prev = IA._FORCE_QB
+    IA._FORCE_QB = 8
+    try:
+        with _interpret_ctx():
+            out = IA.ipa_attention_packed(packed, qp, kp, vp, z, kb, bb,
+                                          kdz, bdz, hw, m, c_hidden=C)
+    finally:
+        IA._FORCE_QB = prev
+    mm = mask[..., None]
+    for name, a, b in zip(("o", "opt", "opair"), ref, out):
+        np.testing.assert_allclose(np.asarray(a) * mm, np.asarray(b) * mm,
+                                   atol=3e-5, rtol=1e-4, err_msg=name)
+
+
+def test_edge_embed_kernel_fast_smoke(rng):
+    """Tiny-shape square embedder kernel (with block-0 proj emission) ==
+    XLA reference."""
+    from str2str_tpu.ops import edge_embed as EE
+
+    B, L, D, NB, ies, X = 1, 16, 16, 8, 8, 4
+
+    def r(*shape, scale=0.3):
+        return jnp.asarray(rng.randn(*shape) * scale, dtype=jnp.float32)
+
+    idx = jnp.asarray(np.arange(L)[None, :].repeat(B, 0), jnp.int32)
+    sc = r(B, L, 3, scale=3.0)
+    row, col = r(B, L, D), r(B, L, D)
+    weights = (r(ies, D), r(NB, D), r(D, D), r(D, D),
+               r(D, scale=0.1), r(D, scale=0.1), r(D, scale=0.1),
+               jnp.ones(D), jnp.zeros(D))
+    kw = dict(min_bin=1e-5, max_bin=20.0, num_bins=NB,
+              init_embed_size=ies, max_len=64, self_conditioning=True)
+    wcatT, bcat = r(X, D), r(X, scale=0.1)
+
+    ref = EE.edge_embed_reference(row, col, idx, sc, *weights, **kw)
+    ref_proj = (jnp.einsum("bilc,xc->bixl", ref, wcatT)
+                + bcat[None, None, :, None])
+    with _interpret_ctx():
+        z0, proj = EE.edge_embed_pallas(row, col, idx, sc, *weights,
+                                        query_block=8,
+                                        proj_w=(wcatT, bcat), **kw)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(ref_proj),
+                               atol=2e-4, rtol=2e-4)

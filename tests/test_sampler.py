@@ -156,6 +156,7 @@ def test_chained_ensemble_runs_and_groups(setup):
     assert not np.allclose(out[0.3][0], out[0.4][0])
 
 
+@pytest.mark.slow
 def test_chained_chunked_dispatch_matches_oneshot(setup):
     """Splitting the chained scan into bounded dispatches (the full-protocol
     chain is ~9.5k steps = one multi-minute device program otherwise) must

@@ -500,6 +500,7 @@ def test_steps_per_call_scan(rng):
     assert np.isfinite(row["train/loss"])
 
 
+@pytest.mark.slow
 def test_max_time_skips_leftover_groups(tmp_path, rng):
     """With steps_per_call > 1, the per-step leftover-group loop must honor
     the max_time deadline: each leftover step is a fresh dispatch (possibly
