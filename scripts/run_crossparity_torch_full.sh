@@ -6,7 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p outputs/crossparity_full
-for tgt in CLN025 NTL9 2JOF; do
+for tgt in CLN025 2JOF NTL9; do
   echo "=== torch phase: $tgt (T=1000 protocol, 500 conf) ==="
   python scripts/crossparity.py \
     --phase torch \
