@@ -77,6 +77,8 @@ def build_sampler(cfg: Config, net=None, diffuser=None) -> Sampler:
             min_t=i.min_t, backward_only=i.backward_only,
             max_steps_per_dispatch=int(
                 i.get("max_steps_per_dispatch", 1000) or 0),
+            auto_batch_ref_len=int(i.get("auto_batch_ref_len", 0) or 0),
+            auto_batch_max=int(i.get("auto_batch_max", 400) or 400),
         ),
         seq_mesh=seq_mesh)
 

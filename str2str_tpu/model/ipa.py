@@ -33,6 +33,32 @@ from .layers import (INITS, BackboneUpdate, EdgeTransition, NodeTransition,
 _HP = lax.Precision.HIGHEST
 
 
+def _mm_prec(net_dtype) -> lax.Precision:
+    """Matmul precision for the XLA attention paths, by NETWORK dtype.
+
+    bf16 inference: DEFAULT — one MXU pass with f32 accumulation, the
+    TPU-native fast path. HIGHEST on this chip lowers bf16 (and the f32
+    upcasts of bf16 values) to a multi-pass algorithm ~3-6x slower for
+    precision the bf16 activations do not carry; the XLA attention path
+    serves exactly the small-L buckets where the fused kernels gate off,
+    so the multi-pass tax lands on the protocol's real (10-80 aa) targets.
+    f32 training / float64 golden tests: HIGHEST (bit-comparable numerics
+    vs the reference; DEFAULT would degrade genuine f32 operands)."""
+    return (lax.Precision.DEFAULT if net_dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+
+
+def _mm_prec_f32(net_dtype) -> lax.Precision:
+    """Precision for the f32-operand einsums (point-distance cross term,
+    point aggregation): HIGH (3-pass, ~f32 mantissa coverage) in bf16
+    inference — DEFAULT would run ONE bf16 pass, whose ~1% relative noise
+    is amplified by the |q|^2+|k|^2-2qk cancellation and lands directly on
+    output coordinates; their FLOP share is tiny (K = 3P), so the extra
+    passes cost nothing. HIGHEST for f32 training / golden parity."""
+    return (lax.Precision.HIGH if net_dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+
+
 class Frames(NamedTuple):
     """Per-residue rigid frames carried through the trunk."""
     quat: jnp.ndarray   # (B, L, 4)
@@ -47,6 +73,41 @@ def _apply_frames(frames: Frames, pts: jnp.ndarray) -> jnp.ndarray:
 def _invert_apply_frames(frames: Frames, pts: jnp.ndarray) -> jnp.ndarray:
     q_inv = rot.quat_conjugate(frames.quat)
     return rot.quat_rotate(q_inv[..., None, :], pts - frames.trans[..., None, :])
+
+
+def _apply_frames_flat(frames: Frames, pts_flat: jnp.ndarray) -> jnp.ndarray:
+    """Rotate+translate points held in xyz-BLOCK layout (B, L, 3n):
+    columns [x-block | y-block | z-block], any per-block ordering.
+
+    TPU-first form of `_apply_frames`: the interleaved (..., n, 3) layout
+    puts the lane axis at width 3 (97% of each VPU op padded away) and
+    needs a stack/split relayout on both sides; here the rotation is nine
+    full-lane FMAs against broadcast rotation-matrix entries. Exactly the
+    same rotation, ~1 ulp dot-order difference vs the quaternion sandwich.
+    """
+    n = pts_flat.shape[-1] // 3
+    x = pts_flat[..., :n]
+    y = pts_flat[..., n:2 * n]
+    z = pts_flat[..., 2 * n:]
+    R = rot.quat_to_matrix(frames.quat)          # (B, L, 3, 3)
+    t = frames.trans
+    rows = [R[..., i, 0:1] * x + R[..., i, 1:2] * y + R[..., i, 2:3] * z
+            + t[..., i:i + 1] for i in range(3)]
+    return jnp.concatenate(rows, axis=-1)
+
+
+def _invert_apply_frames_flat(frames: Frames, pts_flat: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Inverse of `_apply_frames_flat` on xyz-block layout: R^T (p - t)."""
+    n = pts_flat.shape[-1] // 3
+    t = frames.trans
+    x = pts_flat[..., :n] - t[..., 0:1]
+    y = pts_flat[..., n:2 * n] - t[..., 1:2]
+    z = pts_flat[..., 2 * n:] - t[..., 2:3]
+    R = rot.quat_to_matrix(frames.quat)
+    rows = [R[..., 0, i:i + 1] * x + R[..., 1, i:i + 1] * y
+            + R[..., 2, i:i + 1] * z for i in range(3)]
+    return jnp.concatenate(rows, axis=-1)
 
 
 from .layers import _DenseParams  # noqa: E402  (shared fused-kernel helper)
@@ -100,6 +161,7 @@ class InvariantPointAttention(nn.Module):
         B, L, _ = s.shape
         H, C = self.no_heads, self.c_hidden
         Pq, Pv = self.no_qk_points, self.no_v_points
+        prec = _mm_prec(self.dtype)
         # z is None for the LAST block under mega-fusion (the previous
         # EdgeTransition emitted only proj; its z' was never written).
         c_z = self.c_z if z is None else z.shape[-1]
@@ -160,18 +222,16 @@ class InvariantPointAttention(nn.Module):
                 axis=-1)
 
         # Point q/k/v in global coordinates. The torch layout packs points as
-        # (x..x y..y z..z); keep that exact layout so checkpoints convert
-        # without permutation. Both point sets rotate through ONE fused
-        # frame application.
-        q_pts = packed[..., n_q + n_kv:n_q + n_kv + n_qp]
-        kv_pts = packed[..., n_q + n_kv + n_qp:]
-        pts = jnp.concatenate(
-            [jnp.stack(jnp.split(q_pts, 3, axis=-1), axis=-1),
-             jnp.stack(jnp.split(kv_pts, 3, axis=-1), axis=-1)],
-            axis=-2)  # (B, L, H*Pq + H*(Pq+Pv), 3)
-        pts = _apply_frames(frames, pts)
-        q_pts = pts[..., :H * Pq, :].reshape(B, L, H, Pq, 3)
-        kv_pts = pts[..., H * Pq:, :].reshape(B, L, H, Pq + Pv, 3)
+        # (x..x y..y z..z) — already the xyz-block layout the flat frame
+        # application wants, so both point sets rotate through nine
+        # full-lane FMAs with NO stack/split relayout; one minor-axis
+        # transpose afterwards produces the (..., P, 3) kernel layout.
+        q_pts = _apply_frames_flat(
+            frames, packed[..., n_q + n_kv:n_q + n_kv + n_qp]
+        ).reshape(B, L, 3, H, Pq).transpose(0, 1, 3, 4, 2)
+        kv_pts = _apply_frames_flat(
+            frames, packed[..., n_q + n_kv + n_qp:]
+        ).reshape(B, L, 3, H, Pq + Pv).transpose(0, 1, 3, 4, 2)
         k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
 
         head_weights = nn.softplus(self.param(
@@ -251,7 +311,7 @@ class InvariantPointAttention(nn.Module):
                 o_pt = opt_flat.reshape(B, L, H * Pv, 3)
                 o_pair = opair4.reshape(B, L, H * (c_z // 4)).astype(dt_o)
             else:
-                a = jnp.einsum("blhc,bmhc->bhlm", q, kl, precision=_HP)
+                a = jnp.einsum("blhc,bmhc->bhlm", q, kl, precision=prec)
                 a = a * math.sqrt(1.0 / (3 * C))
                 b = jnp.einsum("blmc,ch->blmh", z, kb.astype(z.dtype)) + bb
                 a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2))
@@ -261,7 +321,8 @@ class InvariantPointAttention(nn.Module):
                 pt_scale = head_weights * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
                 qf = q_pts.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, L, Pq * 3)
                 kf = k_pts_l.astype(jnp.float32).transpose(0, 2, 1, 3, 4).reshape(B, H, Lk, Pq * 3)
-                cross = jnp.einsum("bhlp,bhmp->bhlm", qf, kf, precision=_HP)
+                cross = jnp.einsum("bhlp,bhmp->bhlm", qf, kf,
+                                   precision=_mm_prec_f32(self.dtype))
                 q_sq = jnp.sum(qf * qf, axis=-1)  # (B, H, L)
                 k_sq = jnp.sum(kf * kf, axis=-1)  # (B, H, Lk)
                 dist2 = q_sq[..., :, None] + k_sq[..., None, :] - 2.0 * cross
@@ -287,12 +348,13 @@ class InvariantPointAttention(nn.Module):
 
                 # scalar values
                 o = jnp.einsum("bhlm,bmhc->blhc", a.astype(vl.dtype), vl,
-                               precision=_HP)
+                               precision=prec)
                 o = o.reshape(B, L, H * C)
 
                 # point values: aggregate in global coords
                 vf = v_pts_l.transpose(0, 2, 1, 3, 4).reshape(B, H, Lk, Pv * 3)
-                o_pt = jnp.einsum("bhlm,bhmp->bhlp", a.astype(vf.dtype), vf, precision=_HP)
+                o_pt = jnp.einsum("bhlm,bhmp->bhlp", a.astype(vf.dtype), vf,
+                                  precision=_mm_prec_f32(self.dtype))
                 o_pt = o_pt.reshape(B, H, L, Pv, 3).transpose(0, 2, 1, 3, 4)
                 o_pt = o_pt.reshape(B, L, H * Pv, 3)
 
@@ -300,7 +362,7 @@ class InvariantPointAttention(nn.Module):
                 pair_z = (jnp.einsum("blmc,cd->blmd", z, kdz.astype(z.dtype))
                           + bdz).astype(z.dtype)
                 o_pair = jnp.einsum("bhlm,blmc->blhc", a.astype(pair_z.dtype),
-                                    pair_z, precision=_HP).reshape(B, L, H * (c_z // 4))
+                                    pair_z, precision=prec).reshape(B, L, H * (c_z // 4))
                 o_pair = o_pair.astype(o.dtype)
                 if self.seq_axis:
                     # Partial sums over local keys -> exact with one psum each.
@@ -309,9 +371,20 @@ class InvariantPointAttention(nn.Module):
                     o_pair = lax.psum(o_pair, self.seq_axis)
 
         # back to local frames + norms
-        o_pt = _invert_apply_frames(frames, o_pt)
-        o_pt_norm = jnp.sqrt(jnp.sum(o_pt.astype(jnp.float32) ** 2, axis=-1)
-                             + self.eps).astype(o.dtype)  # (B, L, H*Pv)
+        # Back to local frames + norms, in xyz-block layout: one minor-axis
+        # transpose, then nine full-lane FMAs (see _apply_frames_flat) and a
+        # full-lane norm — the interleaved form runs every op at lane
+        # width 3. The resulting [x | y | z] block concat is exactly the
+        # torch linear_out column layout (reference unbinds o_pt into
+        # x/y/z chunks before its concat).
+        o_pt_f = _invert_apply_frames_flat(
+            frames, o_pt.transpose(0, 1, 3, 2).reshape(B, L, 3 * H * Pv))
+        npv = H * Pv
+        o_pt_norm = jnp.sqrt(
+            o_pt_f[..., :npv].astype(jnp.float32) ** 2
+            + o_pt_f[..., npv:2 * npv].astype(jnp.float32) ** 2
+            + o_pt_f[..., 2 * npv:].astype(jnp.float32) ** 2
+            + self.eps).astype(o.dtype)  # (B, L, H*Pv)
 
         # Output projection, decomposed over the concat pieces: the reference
         # concatenates [o, o_pt x/y/z, norms, pair] into a (B, L, 2688)
@@ -325,9 +398,7 @@ class InvariantPointAttention(nn.Module):
             s.shape[-1], kernel_init=INITS["final"], name="linear_out")()
         dt_out = o.dtype
         n1 = o.shape[-1]
-        rest = jnp.concatenate(
-            [o_pt[..., 0], o_pt[..., 1], o_pt[..., 2], o_pt_norm, o_pair],
-            axis=-1)
+        rest = jnp.concatenate([o_pt_f, o_pt_norm, o_pair], axis=-1)
         w = wout.astype(dt_out)
         return (jnp.dot(o, w[:n1]) + jnp.dot(rest, w[n1:])
                 + bout.astype(dt_out))

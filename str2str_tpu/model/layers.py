@@ -246,13 +246,17 @@ class SelfAttention(nn.Module):
         dh = d // h
         qkv = linear(3 * d, init="glorot", dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        # bf16 inference: one-pass MXU (HIGHEST lowers bf16 operands to a
+        # multi-pass algorithm ~3-6x slower; see model/ipa.py::_mm_prec).
+        prec = (lax.Precision.DEFAULT if self.dtype == jnp.bfloat16
+                else lax.Precision.HIGHEST)
 
         def heads(t):
             return t.reshape(t.shape[:-1] + (h, dh))
 
         q, k, v = heads(q), heads(k), heads(v)
         logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
-                            precision=lax.Precision.HIGHEST) / jnp.sqrt(
+                            precision=prec) / jnp.sqrt(
             jnp.asarray(dh, jnp.float32))
         if padding_mask is not None:
             # padding_mask: 1.0 = masked (torch key_padding_mask convention).
@@ -262,7 +266,7 @@ class SelfAttention(nn.Module):
             logits = logits + bias
         a = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
         o = jnp.einsum("...hqk,...khd->...qhd", a, v,
-                       precision=lax.Precision.HIGHEST)
+                       precision=prec)
         o = o.reshape(o.shape[:-2] + (d,))
         return linear(d, init="glorot", dtype=self.dtype, name="out_proj")(o)
 

@@ -81,6 +81,11 @@ def _kernel(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
         qq = jnp.sum(scq_ref[0] * scq_ref[0], axis=-1)   # (Qb,)
         kk = jnp.sum(sck_ref[0] * sck_ref[0], axis=-1)   # (L,)
         d2 = qq[:, None] + kk[None, :] - 2.0 * cross     # (Qb, L) f32
+        # Coincident points must land in NO bin (d=0 < the 1e-5 A first
+        # edge); the expansion's rounding noise can push the diagonal's
+        # exact zero just above (1e-5)^2. Snap the physically-empty
+        # sub-0.5 A range to 0 (same rule as edge_embed_reference).
+        d2 = jnp.where(d2 < 0.25, 0.0, d2)
         onehot = ((d2[:, :, None] > lo2_ref[0][None, None, :])
                   & (d2[:, :, None] < hi2_ref[0][None, None, :])).astype(dt)
         NB = onehot.shape[-1]
@@ -301,20 +306,54 @@ def edge_embed_reference(row_part, col_part, residue_idx, sc_ca,
     half = init_embed_size // 2
     freq = math.pi / max_len ** (2 * jnp.arange(half, dtype=jnp.float32)
                                  / init_embed_size)
-    rel = (residue_idx[:, :, None]
-           - residue_idx_col[:, None, :]).astype(jnp.float32)
-    args = rel[..., None] * freq
-    rel_embed = jnp.concatenate([jnp.sin(args), jnp.cos(args)], -1).astype(dt)
+    # Pairwise relative-offset sinusoids via the angle-addition identities
+    # from NODE-sized tables (same construction as the fused kernel):
+    # sin(a-b) = sin a cos b - cos a sin b. The direct form evaluates
+    # sin/cos on the full [B, L, L, half] tensor — ~25M transcendentals per
+    # forward at the L=64 eval bucket's B=184 — where this form needs
+    # 2*B*L*half and four broadcast multiplies.
+    phase_q = residue_idx.astype(jnp.float32)[..., None] * freq
+    phase_k = residue_idx_col.astype(jnp.float32)[..., None] * freq
+    sin_q, cos_q = jnp.sin(phase_q), jnp.cos(phase_q)
+    sin_k, cos_k = jnp.sin(phase_k), jnp.cos(phase_k)
+    sin_rel = (sin_q[:, :, None, :] * cos_k[:, None, :, :]
+               - cos_q[:, :, None, :] * sin_k[:, None, :, :])
+    cos_rel = (cos_q[:, :, None, :] * cos_k[:, None, :, :]
+               + sin_q[:, :, None, :] * sin_k[:, None, :, :])
+    rel_embed = jnp.concatenate([sin_rel, cos_rel], -1).astype(dt)
     x = jnp.einsum("bijc,cd->bijd", rel_embed, krel.astype(dt),
                    preferred_element_type=jnp.float32)
 
     if self_conditioning:
-        d = jnp.linalg.norm(
-            sc_ca[..., :, None, :].astype(jnp.float32)
-            - sc_ca_col[..., None, :, :].astype(jnp.float32), axis=-1)
+        # Squared-distance expansion (same form as the fused kernel): the
+        # [B, L, L, 3] displacement tensor runs every VPU op at lane
+        # width 3; |q-k|^2 = |q|^2 + |k|^2 - 2<q,k> makes the cross term
+        # one MXU matmul and compares against SQUARED bin edges
+        # (d > lo <=> d^2 > lo^2 for non-negatives — reference
+        # geo_utils.py:44 binning semantics preserved).
+        scq = sc_ca.astype(jnp.float32)
+        sck = sc_ca_col.astype(jnp.float32)
+        # HIGHEST: on TPU a DEFAULT-precision f32 dot is a single bf16 MXU
+        # pass — d^2's cancellation (qq + kk - 2qk for nearby points) then
+        # carries ~1% of |q|^2 as noise, larger than a bin width for
+        # CoM-distant coordinates. The cross term is K=3, so the multi-pass
+        # cost is nil.
+        cross = jnp.einsum("bic,bjc->bij", scq, sck,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = (jnp.sum(scq * scq, -1)[..., :, None]
+              + jnp.sum(sck * sck, -1)[..., None, :] - 2.0 * cross)
+        # Coincident points (the diagonal; the all-zero sc_ca_t init) must
+        # produce d=0 -> NO bin (first edge 1e-5 A, reference
+        # geo_utils.py:44): snap the sub-resolution range to exactly 0 —
+        # the expansion's rounding noise otherwise lands d^2 just above
+        # (1e-5)^2. Physically exact: distinct residues' CAs are never
+        # within 0.5 A.
+        d2 = jnp.where(d2 < 0.25, 0.0, d2)
         lower = jnp.linspace(min_bin, max_bin, num_bins)
         upper = jnp.concatenate([lower[1:], jnp.asarray([1e8])])
-        onehot = ((d[..., None] > lower) & (d[..., None] < upper)).astype(dt)
+        onehot = ((d2[..., None] > lower ** 2)
+                  & (d2[..., None] < upper ** 2)).astype(dt)
         x = x + jnp.einsum("bijc,cd->bijd", onehot, kd.astype(dt),
                            preferred_element_type=jnp.float32)
 
@@ -391,6 +430,7 @@ def _bwd_body(rowp_ref, colp_ref, sq_ref, cq_ref, sk_ref, ck_ref,
         qq = jnp.sum(scq_ref[0] * scq_ref[0], axis=-1)
         kk = jnp.sum(sck_ref[0] * sck_ref[0], axis=-1)
         d2 = qq[:, None] + kk[None, :] - 2.0 * cross
+        d2 = jnp.where(d2 < 0.25, 0.0, d2)  # same snap as the forward
         onehot = ((d2[:, :, None] > lo2_ref[0][None, None, :])
                   & (d2[:, :, None] < hi2_ref[0][None, None, :])).astype(dt)
         NB = onehot.shape[-1]

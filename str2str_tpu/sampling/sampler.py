@@ -57,6 +57,28 @@ class SamplerConfig:
     # keys depend only on (slot, local step)), ~50 ms dispatch overhead per
     # boundary, at most 2 distinct compiled programs (chunk + remainder).
     max_steps_per_dispatch: int = 1000
+    # TPU-first adaptive device batch: replica_per_batch is the reference's
+    # per-GPU memory knob (diffusion_module.py:341), tuned for its largest
+    # length — at small length buckets it leaves the chip mostly idle and
+    # pays the per-step fixed cost (diffuser math latency, scan overhead)
+    # over too few rows. When auto_batch_ref_len=R is set, the chained
+    # samplers may raise the device batch up to the memory-equivalent
+    # replica_per_batch*(R/L_pad)^2 (edge tensors are O(B*L^2)), clamped to
+    # auto_batch_max rows. Statistically a no-op: replica chains are
+    # independent, only their grouping into device dispatches changes.
+    # 0 disables (exact replica_per_batch grouping, as tests pin).
+    auto_batch_ref_len: int = 0
+    auto_batch_max: int = 400
+
+    def device_batch_cap(self, length: int) -> int:
+        """Max rows per device batch for a length-`length` bucket."""
+        if self.auto_batch_ref_len <= 0 or length <= 0:
+            return self.replica_per_batch
+        scale = max(1.0, (self.auto_batch_ref_len / length) ** 2)
+        cap = min(int(self.replica_per_batch * scale), self.auto_batch_max)
+        if cap > 8:
+            cap = (cap // 8) * 8  # keep the sublane axis tile-aligned
+        return max(self.replica_per_batch, cap)
 
     def delta_range(self) -> np.ndarray:
         return np.around(
@@ -496,7 +518,8 @@ class Sampler:
         if cfg.backward_only:
             n_replica = n_replica * len(deltas)
             deltas = np.asarray([1.0])
-        B = min(cfg.replica_per_batch, n_replica)
+        L_pad = feats_single["aatype"].shape[0]
+        B = min(cfg.device_batch_cap(L_pad), n_replica)
         repeats = -(-n_replica // B)
 
         sched, n_slots = build_chained_schedule(
@@ -559,13 +582,25 @@ class Sampler:
             if f["aatype"].shape[0] != L:
                 raise ValueError("all targets must share one length bucket")
 
-        B = min(cfg.replica_per_batch, n_replica * K)
+        cap = cfg.device_batch_cap(L)
         # Same chain depth a single-target run would use, so per-target NFE
         # and segment count match sample_ensemble_chained exactly.
-        repeats = -(-n_replica // min(cfg.replica_per_batch, n_replica))
+        repeats = -(-n_replica // min(cap, n_replica))
         rows_per_target = -(-n_replica // repeats)
         row_targets = np.repeat(np.arange(K), rows_per_target)
         n_rows = len(row_targets)
+        B = min(cap, n_rows)
+        if cap > cfg.replica_per_batch:
+            # Free to choose any batch size up to the cap: pick the one
+            # that minimizes padded (discarded) rows, tie-broken toward
+            # fewer dispatches. Candidates stay multiples of 8 (sublane
+            # tile) plus n_rows itself for the single-chunk case.
+            cands = [b for b in range(8, cap + 1, 8)]
+            if n_rows <= cap:
+                cands.append(n_rows)
+            B = min(cands,
+                    key=lambda b: (-(-n_rows // b) * b - n_rows,
+                                   -(-n_rows // b), -b))
         pad = (-n_rows) % B
         if pad:  # cycle rows so padded chains still anneal real targets
             row_targets = np.concatenate([row_targets, row_targets[:pad]])

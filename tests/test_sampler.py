@@ -284,3 +284,36 @@ def test_chained_determinism(setup):
     o3 = sampler.sample_ensemble_chained(params, jax.random.PRNGKey(10), feats)
     np.testing.assert_array_equal(o1[0.3], o2[0.3])
     assert not np.allclose(o1[0.3], o3[0.3])
+
+
+def test_device_batch_cap_logic():
+    """auto_batch scales the device batch memory-equivalently (O(B*L^2))
+    and is a no-op when disabled or at/above the reference length."""
+    c = SamplerConfig(auto_batch_ref_len=128)
+    assert c.device_batch_cap(64) == 200      # 50 * (128/64)^2
+    assert c.device_batch_cap(128) == 50
+    assert c.device_batch_cap(256) == 50      # never below replica_per_batch
+    assert SamplerConfig().device_batch_cap(64) == 50  # disabled by default
+    big = SamplerConfig(auto_batch_ref_len=512)
+    assert big.device_batch_cap(64) == 400    # clamped to auto_batch_max
+    assert big.device_batch_cap(64) % 8 == 0
+
+
+def test_multi_target_auto_batch_shapes(setup):
+    """With auto_batch raising the cap, sample_ensemble_multi still returns
+    exactly n_replica finite conformations per target per delta."""
+    prot, feats, net, diffuser, params = setup
+    fa = {k: v for k, v in feats.items() if isinstance(v, np.ndarray)}
+    fb = _translated_feats(feats, 5.0)
+    cfg = SamplerConfig(num_timesteps=10, replica_per_batch=2, n_replica=3,
+                        delta_min=0.3, delta_max=0.4, delta_step=0.1,
+                        auto_batch_ref_len=64)  # cap(16) -> clamp at max
+    sampler = Sampler(net, diffuser, cfg)
+    res = sampler.sample_ensemble_multi(params, jax.random.PRNGKey(3),
+                                        [fa, fb])
+    assert len(res) == 2
+    for per_delta in res:
+        assert set(per_delta) == {0.3, 0.4}
+        for arr in per_delta.values():
+            assert arr.shape == (3, 16, 37, 3)
+            assert np.isfinite(arr[:, arr.sum((0, 2, 3)) != 0]).all()
